@@ -1,0 +1,56 @@
+"""PDF branch tests (north star: "PDF layout parsing into region classes")."""
+
+from __future__ import annotations
+
+from webextract.config import ExtractConfig
+from webextract.fixtures import make_pdf
+from webextract.pdf_extract import extract_pdf, is_pdf, _unescape_pdf_string
+
+
+def test_is_pdf_sniff():
+    assert is_pdf(b"%PDF-1.4\n...")
+    assert is_pdf(b"  \n%PDF-1.7")
+    assert not is_pdf(b"<html>")
+    assert not is_pdf(b"")
+
+
+def test_pdf_golden():
+    pdf = make_pdf("A Title Here", ["first paragraph text", "second one here"])
+    r = extract_pdf("u", pdf)
+    assert r.text == "A Title Here\nfirst paragraph text\nsecond one here"
+    assert [(s.region_class, s.reading_order) for s in r.spans] == [
+        ("header", 0), ("paragraph", 1)]
+
+
+def test_pdf_tj_array_and_escapes():
+    stream = (b"BT /F1 11 Tf 0 0 Td [(Hel) -20 (lo \\(quoted\\))] TJ ET\n"
+              b"BT /F1 16 Tf 0 0 Td (Octal \\101 ok) Tj ET")
+    pdf = (b"%PDF-1.4\nstream\n" + stream + b"\nendstream\n")
+    r = extract_pdf("u", pdf)
+    assert r.text == "Hello (quoted)\nOctal A ok"
+    assert [s.region_class for s in r.spans] == ["paragraph", "header"]
+
+
+def test_pdf_min_size_filter():
+    pdf = (b"%PDF-1.4\nstream\nBT /F1 11 Tf 0 0 Td (ab) Tj ET\n"
+           b"BT (long enough text) Tj ET\nendstream\n")
+    r = extract_pdf("u", pdf)
+    assert r.text == "long enough text"
+
+
+def test_pdf_merge_alias():
+    pdf = make_pdf("Title Text Here", ["body text here"])
+    cfg = ExtractConfig(merge_aliases={"header": "paragraph"})
+    r = extract_pdf("u", pdf, cfg)
+    # header folded into paragraph -> single merged run (P4 + P11 compose)
+    assert [s.region_class for s in r.spans] == ["paragraph"]
+    assert len(r.spans) == 1
+
+
+def test_pdf_corrupt_total():
+    assert extract_pdf("u", b"%PDF-1.4 garbage \xff\x00").spans == ()
+
+
+def test_unescape():
+    assert _unescape_pdf_string(rb"a\(b\)c\\d\n") == "a(b)c\\d\n"
+    assert _unescape_pdf_string(rb"\101\102") == "AB"

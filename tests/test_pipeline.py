@@ -1,0 +1,146 @@
+"""End-to-end pipeline tests: run → resume → invariance under partitioning.
+
+Mirrors SURVEY.md §5.2: partition-invariance (same input at different
+partition counts ⇒ identical output contents) and resume idempotence
+(rerun after partial completion ⇒ no duplicates) — the Spark recasts of
+the reference's skip-if-exists incremental checks
+(``data/preprocess.py:404-408``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webextract.config import ExtractConfig
+from webextract.fixtures import gen_pages, pages_dataframe, pages_from_documents
+from webextract.pipeline import (
+    PipelineOptions,
+    extract_dataframe,
+    plan_todo,
+    run_extraction,
+    salted_repartition,
+)
+from webextract.schema import EXTRACTED_SCHEMA, PAGES_SCHEMA
+
+N = 80
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = spark.createDataFrame(gen_pages(N, giant_every=40, giant_repeat=200),
+                               PAGES_SCHEMA)
+    df.persist()
+    df.count()
+    return df
+
+
+def _content_hash(df):
+    """Order-insensitive content hash of (url, extracted_text, n_spans)."""
+    return (
+        df.select(F.sha2(F.concat_ws("|", "url", "extracted_text",
+                                     F.col("n_spans").cast("string")), 256)
+                  .alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
+        .collect()[0][0]
+    )
+
+
+def test_end_to_end_counts_and_schema(spark, pages):
+    out = extract_dataframe(pages, opts=PipelineOptions(num_partitions=4))
+    assert out.schema == EXTRACTED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == N  # every url yields exactly one row, even empty/bad
+    by_url = {r["url"]: r for r in rows}
+    assert len(by_url) == N
+    # template 0 pages are plain articles -> header + paragraph spans
+    art = by_url["https://example-0.test/p0/0"]
+    assert [s["region_class"] for s in art["spans"]] == ["header", "paragraph"]
+    assert art["content_kind"] == "html"
+    # template 7 rows are PDFs
+    pdf = by_url["https://example-7.test/p0/7"]
+    assert pdf["content_kind"] == "pdf"
+    assert [s["region_class"] for s in pdf["spans"]] == ["header", "paragraph"]
+    # empty page (template 5, idx 5 variant 0) -> empty text, no error
+    empty = by_url["https://example-5.test/p0/5"]
+    assert empty["extracted_text"] == "" and empty["error"] is None
+
+
+def test_partition_invariance(spark, pages):
+    hashes = set()
+    for nparts in (1, 3, 7):
+        out = extract_dataframe(pages, opts=PipelineOptions(num_partitions=nparts))
+        hashes.add(_content_hash(out))
+    assert len(hashes) == 1
+
+
+def test_salted_repartition_routes_giants(spark, pages):
+    opts = PipelineOptions(num_partitions=4, giant_bytes=2000)
+    routed = salted_repartition(pages.select("url", "html"), opts)
+    assert routed.count() == N  # nothing lost (incl. null/empty html rows)
+
+
+def test_resume_anti_join_and_idempotence(spark, pages, tmp_path):
+    out_dir = str(tmp_path / "extracted")
+    metrics_dir = str(tmp_path / "metrics")
+    first_half = pages.filter(F.xxhash64("url") % 2 == 0)
+    s1 = run_extraction(spark, first_half, out_dir, metrics_dir,
+                        opts=PipelineOptions(num_partitions=3))
+    n1 = s1["rows_written"]
+    assert n1 == first_half.count()
+
+    # rerun over the FULL input: only the missing urls are processed
+    s2 = run_extraction(spark, pages, out_dir, metrics_dir,
+                        opts=PipelineOptions(num_partitions=3))
+    final = spark.read.parquet(out_dir)
+    assert final.count() == N
+    assert final.select("url").distinct().count() == N  # no duplicates
+    assert s2["rows_written"] == N - n1
+
+    # third run: nothing to do, still no duplicates
+    run_extraction(spark, pages, out_dir, metrics_dir,
+                   opts=PipelineOptions(num_partitions=3))
+    assert spark.read.parquet(out_dir).count() == N
+
+    # lineage/metrics: totals reconcile with committed data
+    metrics = spark.read.parquet(metrics_dir)
+    assert metrics.agg(F.sum("n_rows")).collect()[0][0] == N
+    assert metrics.filter(F.col("config_hash").isNull()).count() == 0
+
+
+def test_plan_todo_no_done(spark, pages):
+    assert plan_todo(pages, None).count() == N
+
+
+def test_deterministic_across_runs(spark, pages):
+    a = extract_dataframe(pages, opts=PipelineOptions(num_partitions=2))
+    b = extract_dataframe(pages, opts=PipelineOptions(num_partitions=2))
+    assert _content_hash(a) == _content_hash(b)
+
+
+def test_merge_alias_config_through_pipeline(spark, pages):
+    cfg = ExtractConfig(merge_aliases={"title": "header"})
+    out = extract_dataframe(pages, cfg=cfg, opts=PipelineOptions(num_partitions=2))
+    classes = (
+        out.select(F.explode("spans").alias("s"))
+        .select(F.col("s.region_class").alias("c")).distinct().collect()
+    )
+    assert "title" not in {r["c"] for r in classes}
+
+
+def test_pages_from_documents_extraction(spark):
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    out = extract_dataframe(pages, opts=PipelineOptions(num_partitions=2))
+    joined = (
+        out.join(pages.select("url", F.col("text").alias("orig")), "url")
+        .withColumn("norm", F.trim(F.regexp_replace("orig", r"\s+", " ")))
+    )
+    # single-<p> wrap: extracted text must equal normalized original text
+    assert joined.filter(F.col("extracted_text") != F.col("norm")).count() == 0
+
+
+def test_distributed_fixture_render(spark):
+    df = pages_dataframe(spark, 30, num_partitions=3, giant_every=0)
+    assert df.count() == 30
+    local = gen_pages(30, giant_every=0)
+    got = {r["url"]: bytes(r["html"]) for r in df.collect()}
+    assert got == {r["url"]: r["html"] for r in local}

@@ -1,0 +1,102 @@
+"""Content-type dispatch + Arrow-batch extraction API.
+
+Dispatch mirrors the reference's reflective ``build_{mode}`` converter
+dispatch (``page_xml/xml_converters/xml_converter.py:72-107``): a per-row
+content sniff routes each payload to the HTML or PDF branch. The batch API
+is the *only* Python on the hot path and is Arrow-batched via
+``mapInPandas`` — the engine's analog of the reference's DataLoader worker
+processes (``inference.py:377-387``), with the JVM↔Python Arrow socket as
+the process boundary (once per batch, never per row).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from .config import DEFAULT_CONFIG, ExtractConfig
+from .html_extract import ExtractResult, extract_html
+from .pdf_extract import extract_pdf, is_pdf
+
+_EMPTY = ExtractResult(text="", spans=())
+
+
+def extract_record(url: str, payload: bytes | None,
+                   cfg: ExtractConfig = DEFAULT_CONFIG) -> dict[str, Any]:
+    """One document → one output row (pure; never raises).
+
+    Errors are captured in the ``error`` column — the reference's
+    skip-with-warning contract (``inference.py:344-346``) recast so a bad
+    row can never fail a 10^12-row job.
+    """
+    t0 = time.perf_counter()
+    kind = "html"
+    error = None
+    try:
+        if not payload:
+            kind, result = "empty", _EMPTY
+        elif is_pdf(payload):
+            kind = "pdf"
+            result = extract_pdf(url, payload, cfg)
+        else:
+            result = extract_html(url, payload, cfg)
+    except Exception as exc:  # pragma: no cover - extractors are total
+        result, error = _EMPTY, f"{type(exc).__name__}: {exc}"
+    parse_us = int((time.perf_counter() - t0) * 1_000_000)
+    spans = [
+        {
+            "span_id": s.span_id,
+            "region_class": s.region_class,
+            "region_type": s.region_type,
+            "char_start": s.char_start,
+            "char_end": s.char_end,
+            "reading_order": s.reading_order,
+            "confidence": s.confidence,
+        }
+        for s in result.spans
+    ]
+    mean_conf = (
+        round(sum(s.confidence for s in result.spans) / len(result.spans), 6)
+        if result.spans else None
+    )
+    return {
+        "url": url,
+        "extracted_text": result.text,
+        "spans": spans,
+        "n_spans": len(spans),
+        "mean_confidence": mean_conf,
+        "content_kind": kind,
+        "error": error,
+        "n_bytes_in": len(payload) if payload else 0,
+        "parse_us": parse_us,
+    }
+
+
+def make_extract_batches(cfg: ExtractConfig, run_id: str):
+    """Build the ``mapInPandas`` function: Iterator[pdf] → Iterator[pdf].
+
+    The closure carries only the frozen config + run id (the broadcast-
+    variable analog of the reference's checkpoint load, S12). Requires
+    columns ``url`` and ``html`` in the input batches; emits
+    ``EXTRACTED_SCHEMA`` rows.
+    """
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for batch in batches:
+            rows = [
+                extract_record(url, payload, cfg)
+                for url, payload in zip(batch["url"], batch["html"])
+            ]
+            out = pd.DataFrame.from_records(rows)
+            out["partition_id"] = pid
+            out["run_id"] = run_id
+            yield out
+
+    return extract_batches

@@ -1,0 +1,375 @@
+"""Pure-Python HTML → (extracted_text, typed layout spans).
+
+This module is the engine's "model + post-processing": it replaces the
+reference's pixel classifier + instance extraction
+(``models/meta_arch/binary_seg.py:75-130`` → softmax/argmax/confidence at
+``page_xml/output_page_xml.py:534-562`` → connected components / contours /
+min-size filter at ``output_page_xml.py:360-383`` and
+``baseline_extractor.py:30-36``) with deterministic DOM text-density /
+link-density scoring (Readability/Boilerpipe-class heuristics).
+
+It is deliberately **Spark-free**: a pure function of ``(url, payload
+bytes, config)``, exactly as the reference's post-processing is separable
+from its harness — which is what makes byte-identical regression tests
+trivial (reference test style: exact coordinate-string asserts in
+``test/test_output_page_xml.py:16-289``).
+
+Stage map (reference → here):
+
+- pixel classification (P1/P2)      → per-block class decision from
+  tag + link-density features, with a normalized-margin confidence
+- connected components (P4)         → run-length merge of consecutive
+  same-class blocks into one span
+- min-size filter (P6,
+  ``output_page_xml.py:364-367``)    → blocks shorter than
+  ``min_region_size`` normalized chars become background
+- class merge aliasing (P11,
+  ``xml_regions.py:146-177``)        → ``config.merge_aliases``
+- region_type tagging (P12,
+  ``xml_regions.py:179-208``)        → ``REGION_TYPES``
+- reading order (P10,
+  ``page_xml_editor.py:62-79``)      → dense document-order index
+- unique ids (P14,
+  ``output_page_xml.py:227``)        → deterministic
+  ``sha256(url|class|char_start)`` (resume/retry-safe, unlike the
+  reference's ``uuid.uuid4()``)
+"""
+
+from __future__ import annotations
+
+import codecs
+import hashlib
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from .config import (
+    BLOCK_TAGS,
+    ExtractConfig,
+    DEFAULT_CONFIG,
+    MARGINAL_ANCESTOR_TAGS,
+    REGION_TYPES,
+    SKIP_CONTENT_TAGS,
+    TAG_CLASS_MAP,
+    VOID_TAGS,
+)
+
+# ---------------------------------------------------------------------------
+# byte decoding (analog of image decode S3/S4, utils/image_utils.py:84-168:
+# deterministic, corrupt input never raises)
+# ---------------------------------------------------------------------------
+
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+
+def decode_payload(payload: bytes) -> str:
+    """bytes → str, deterministically, never raising.
+
+    Order: BOM sniff → strict UTF-8 → declared ``<meta charset=...>`` in the
+    first 4 KiB → latin-1 (total function). Mirrors the reference's decode
+    contract: corrupt files yield a skippable value, never a job failure
+    (``inference.py:344-346``).
+    """
+    if not payload:
+        return ""
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            return payload[len(bom):].decode(enc, errors="replace")
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _CHARSET_RE.search(payload[:4096])
+    if m:
+        name = m.group(1).decode("ascii", errors="replace").lower()
+        if name not in ("utf-8", "utf8"):  # utf-8 already failed strict
+            try:
+                codecs.lookup(name)
+                return payload.decode(name, errors="replace")
+            except LookupError:
+                pass
+    return payload.decode("latin-1")  # lossless total fallback
+
+
+# ---------------------------------------------------------------------------
+# block tokenizer
+# ---------------------------------------------------------------------------
+
+_WS_NORM = re.compile(r"\s+")
+
+
+def _normalize_ws(raw: str) -> str:
+    """Collapse whitespace runs to single spaces and strip.
+
+    The char-offset discipline (FIXTURES.md §2, reference analog: coordinate
+    rescale ``xml_converter.py:109-124``): offsets index into the *emitted*
+    normalized text, never the raw HTML.
+    """
+    return _WS_NORM.sub(" ", raw).strip()
+
+
+@dataclass
+class Block:
+    """One layout block — the DOM analog of a connected pixel region."""
+
+    tag: str
+    marginal: bool
+    pieces: list[str]
+    total_nws: int = 0   # non-whitespace chars
+    link_nws: int = 0    # non-whitespace chars inside <a>
+
+    def text(self) -> str:
+        return _normalize_ws("".join(self.pieces))
+
+    def link_density(self) -> float:
+        if self.total_nws <= 0:
+            return 0.0
+        return self.link_nws / self.total_nws
+
+
+class _BlockParser(HTMLParser):
+    """Tolerant streaming tokenizer: HTML → ordered list of Blocks.
+
+    Tolerance contract (FIXTURES.md template 6): unclosed tags, comment-only
+    pages, CDATA, entity soup and deep nesting must all parse without error.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._cur: Block | None = None
+        self._block_stack: list[str] = []
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._marginal_depth = 0
+
+    # -- block lifecycle ----------------------------------------------------
+
+    def _flush(self) -> None:
+        if self._cur is not None:
+            if self._cur.text():
+                self.blocks.append(self._cur)
+            self._cur = None
+
+    def _ensure_block(self) -> Block:
+        if self._cur is None:
+            tag = self._block_stack[-1] if self._block_stack else "body"
+            self._cur = Block(
+                tag=tag, marginal=self._marginal_depth > 0, pieces=[]
+            )
+        return self._cur
+
+    # -- HTMLParser hooks ---------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_CONTENT_TAGS:
+            self._flush()
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in MARGINAL_ANCESTOR_TAGS:
+                self._marginal_depth += 1
+            if tag not in VOID_TAGS:
+                self._block_stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_CONTENT_TAGS:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            self._flush()
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            if self._anchor_depth:
+                self._anchor_depth -= 1
+            return
+        if tag in BLOCK_TAGS and tag not in VOID_TAGS:
+            self._flush()
+            # tolerant pop: unwind to the matching open tag if present
+            if tag in self._block_stack:
+                while self._block_stack:
+                    popped = self._block_stack.pop()
+                    if popped in MARGINAL_ANCESTOR_TAGS:
+                        self._marginal_depth = max(0, self._marginal_depth - 1)
+                    if popped == tag:
+                        break
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in BLOCK_TAGS:  # e.g. <br/>, <hr/>
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        block = self._ensure_block()
+        block.pieces.append(data)
+        nws = sum(1 for ch in data if not ch.isspace())
+        block.total_nws += nws
+        if self._anchor_depth > 0:
+            block.link_nws += nws
+
+    # charrefs mostly handled by convert_charrefs; these cover broken cases
+    def handle_entityref(self, name: str) -> None:
+        self.handle_data(f"&{name};")
+
+    def handle_charref(self, name: str) -> None:
+        self.handle_data(f"&#{name};")
+
+    def error(self, message: str) -> None:  # pragma: no cover - py<3.10 hook
+        pass
+
+
+def tokenize_blocks(html_text: str) -> list[Block]:
+    parser = _BlockParser()
+    try:
+        parser.feed(html_text)
+        parser.close()
+    except Exception:
+        # Tolerate pathological markup: keep whatever parsed so far
+        # (reference contract: corrupt input -> skip, inference.py:344-346).
+        pass
+    parser._flush()
+    return parser.blocks
+
+
+# ---------------------------------------------------------------------------
+# block classification (P1/P2 analog)
+# ---------------------------------------------------------------------------
+
+
+def classify_block(block: Block, cfg: ExtractConfig) -> tuple[str, float]:
+    """block → (region_class, confidence), deterministic.
+
+    Decision order mirrors the reference's postprocess: min-size filter
+    first (P6), then the boilerplate score (P2's argmax analog), then the
+    tag-derived class with merge aliasing (P11).
+    Confidence is a normalized margin in [0, 1] — the analog of the scaled
+    softmax confidence at ``output_page_xml.py:534-562``.
+    """
+    text = block.text()
+    if len(text) < cfg.min_region_size:
+        return "background", 1.0
+    ld = block.link_density()
+    if ld > cfg.max_link_density:
+        return "background", round(ld, 6)
+    if block.marginal:
+        cls = "marginalia"
+    else:
+        cls = TAG_CLASS_MAP.get(block.tag, "paragraph")
+    cls = cfg.merge_aliases.get(cls, cls)
+    if cls == "marginalia" and cfg.drop_marginalia:
+        return "background", round(1.0 - ld, 6)
+    return cls, round(1.0 - ld, 6)
+
+
+# ---------------------------------------------------------------------------
+# span assembly (P4/P6/P10/P12/P14 analogs)
+# ---------------------------------------------------------------------------
+
+
+def span_id_for(url: str, region_class: str, char_start: int) -> str:
+    """Deterministic span id (P14): content-derived so Spark task retries
+    and checkpoint resumes never mint duplicates — intentionally unlike the
+    reference's ``uuid.uuid4()`` (``output_page_xml.py:227,284,390``)."""
+    key = f"{url}|{region_class}|{char_start}"
+    return hashlib.sha256(key.encode("utf-8")).hexdigest()
+
+
+@dataclass(frozen=True)
+class Span:
+    span_id: str
+    region_class: str
+    region_type: str
+    char_start: int
+    char_end: int
+    reading_order: int
+    confidence: float
+
+
+@dataclass(frozen=True)
+class ExtractResult:
+    text: str
+    spans: tuple[Span, ...]
+
+
+def assemble_spans(url: str, kept: list[tuple[str, float, str]],
+                   cfg: ExtractConfig) -> ExtractResult:
+    """(class, confidence, text) triples in reading order → final result.
+
+    Shared by the HTML and PDF branches (the dispatch analog of the
+    reference's shared geometry helpers in ``xml_converter.py:109-182``).
+    """
+    # P4 analog: run-length merge of consecutive same-class blocks.
+    runs: list[tuple[str, list[float], list[str]]] = []
+    for cls, conf, text in kept:
+        if cfg.merge_adjacent_spans and runs and runs[-1][0] == cls:
+            runs[-1][1].append(conf)
+            runs[-1][2].append(text)
+        else:
+            runs.append((cls, [conf], [text]))
+
+    parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for order, (cls, confs, texts) in enumerate(runs):
+        chunk = "\n".join(texts)
+        start = offset
+        end = start + len(chunk)
+        # mean confidence over merged blocks (P3 analog,
+        # output_page_xml.py:245)
+        conf = round(sum(confs) / len(confs), 6)
+        spans.append(
+            Span(
+                span_id=span_id_for(url, cls, start),
+                region_class=cls,
+                region_type=REGION_TYPES[cls],
+                char_start=start,
+                char_end=end,
+                reading_order=order,
+                confidence=conf,
+            )
+        )
+        parts.append(chunk)
+        offset = end + 1  # +1 for the joining "\n"
+
+    return ExtractResult(text="\n".join(parts), spans=tuple(spans))
+
+
+def extract_html(url: str, payload: bytes,
+                 cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:
+    """The flagship pure function: HTML bytes → extracted text + spans.
+
+    Invariants (asserted by the regression tests, FIXTURES.md §2):
+    spans sorted by char_start, non-overlapping, ``0 <= char_start <
+    char_end <= len(text)``, reading_order dense from 0, and
+    ``text[s.char_start:s.char_end]`` equals the span's contribution —
+    text is exactly the non-background spans' slices joined by ``"\\n"``.
+    """
+    if payload and len(payload) > cfg.max_html_bytes:
+        payload = payload[: cfg.max_html_bytes]  # T1/T2 resize-clamp analog
+    html_text = decode_payload(payload)
+    blocks = tokenize_blocks(html_text)
+
+    kept: list[tuple[str, float, str]] = []  # (class, confidence, text)
+    for block in blocks:
+        cls, conf = classify_block(block, cfg)
+        if cls == "background":
+            continue
+        kept.append((cls, conf, block.text()))
+
+    return assemble_spans(url, kept, cfg)

@@ -1,0 +1,200 @@
+"""DataFrame wiring: scan → resume anti-join → salted repartition with
+giant-blob skew routing → ``mapInPandas`` extraction → sink + per-partition
+lineage/metrics.
+
+This is the Spark lifecycle of the reference's flagship entry point
+(``python inference.py -c cfg -i dir -o out``, SURVEY.md §3.1):
+
+- corpus scan (S1, ``utils/input_utils.py:64-137``)   → parquet/Iceberg scan
+- skip-if-exists incremental recompute
+  (``data/preprocess.py:404-408``)                    → **left_anti join**
+  against already-committed urls (checkpoint/resume)
+- ``Pool(os.cpu_count()).imap_unordered`` fan-out
+  (``data/preprocess.py:774-781``)                    → salted repartition
+  sized to the cluster, with giant blobs routed round-robin so one 50 MB
+  page cannot wreck a partition of 4 KB pages (north_rule skew handling)
+- DataLoader prefetch (``inference.py:377-387``)      → Arrow batching
+- atomic PAGE-XML publish (``utils/tempdir.py:122-140``) → parquet append /
+  Iceberg snapshot commit (both atomic at the commit level)
+- provenance stamp (``core/setup.py:102-105``)        → run_id + git hash +
+  config hash in a per-partition metrics table
+
+Scale notes (100 TB design point): the hot path is scan → exchange →
+Python runner → write; exactly one shuffle (the explicit repartition that
+re-balances raw WARC-sized input splits and isolates skew). The resume
+anti-join broadcasts nothing by default — at 10^12 committed urls it is a
+shuffle join on the url key, which Catalyst plans as sort-merge; AQE
+handles post-shuffle sizing. Metrics derive from the *committed* output
+(column-pruned read-back of 5 int columns), so metrics and data can never
+disagree after a partial failure.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import DEFAULT_CONFIG, ExtractConfig
+from .extract import make_extract_batches
+from .schema import EXTRACTED_SCHEMA, METRICS_SCHEMA, PAGES_SCHEMA
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship ``webextract`` to executors (the programmatic equivalent of
+    ``spark-submit --py-files webextract.zip``, which is how production
+    runs deploy per the north rule). Idempotent; returns the zip path."""
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / "webextract_pyfiles.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"webextract/{py.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))
+    return str(zip_path)
+
+
+def _git_hash() -> str:
+    from pathlib import Path
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, check=False,
+            cwd=Path(__file__).resolve().parent,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+@dataclass(frozen=True)
+class PipelineOptions:
+    num_partitions: int = 32
+    giant_bytes: int = 1 << 20       # blobs above this get their own routing
+    salt_factor: int = 4             # salt buckets per target partition
+    sink_format: str = "parquet"     # "parquet" | "iceberg"
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table (S1). With an Iceberg catalog configured this
+    would be ``spark.read.table(...)``; the sandbox uses parquet, which
+    keeps the same columnar/pushdown properties."""
+    if path.endswith(".parquet") or "/" in path:
+        return spark.read.schema(PAGES_SCHEMA).parquet(path)
+    return spark.read.table(path)
+
+
+def completed_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
+    """urls already committed to the sink — the checkpoint unit.
+
+    Analog of the reference's skip-if-exists stamp files
+    (``data/preprocess.py:404-408,471-475``); with Iceberg the read would
+    pin a snapshot id so resume is consistent under concurrent writers.
+    """
+    try:
+        return spark.read.parquet(output_path).select("url")
+    except Exception:
+        return None  # first run: nothing committed yet
+
+
+def plan_todo(pages: DataFrame, done: DataFrame | None,
+              dedupe: bool = True) -> DataFrame:
+    """Resume anti-join: only never-committed urls are (re)processed.
+
+    ``dedupe`` is the S2 ingest guard (reference duplicate-name check,
+    ``data/preprocess.py:241-281``): crawl tables can carry duplicate urls;
+    exactly one row per url survives. The dropDuplicates and the left_anti
+    join shuffle on the same key, so Catalyst/AQE reuses the exchange —
+    one url-keyed shuffle total, not two. Combined with deterministic span
+    ids (P14) this makes reruns after partial failure idempotent: no
+    duplicates, no gaps.
+    """
+    pages = pages.filter(F.col("url").isNotNull())
+    if dedupe:
+        pages = pages.dropDuplicates(["url"])
+    if done is None:
+        return pages
+    return pages.join(done, "url", "left_anti")
+
+
+def salted_repartition(df: DataFrame, opts: PipelineOptions) -> DataFrame:
+    """Explicit skew handling (north_rule; no Catalyst equivalent for
+    UDF-stage value skew — AQE only fixes shuffle-size skew).
+
+    Normal pages: salted url-hash repartition — ``pmod(xxhash64(url),
+    n*salt_factor)`` spreads hot key ranges evenly. Giant blobs (> 1 MiB):
+    round-robin repartition so each lands alone rather than queueing behind
+    one unlucky partition (the reference's per-record ``imap_unordered``
+    has the same straggler-avoidance goal, ``data/preprocess.py:774-781``).
+    """
+    size = F.coalesce(F.octet_length(F.col("html")), F.lit(0))
+    giants = df.filter(size > opts.giant_bytes).repartition(opts.num_partitions)
+    normal = (
+        df.filter(size <= opts.giant_bytes)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("url"), F.lit(opts.num_partitions * opts.salt_factor)),
+        )
+        .repartition(opts.num_partitions, "_salt")
+        .drop("_salt")
+    )
+    return normal.unionByName(giants)
+
+
+def extract_dataframe(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+                      opts: PipelineOptions = PipelineOptions(),
+                      run_id: str | None = None) -> DataFrame:
+    """pages → extracted (lazy; no sink). Column-prunes to (url, html)
+    before the Arrow exchange so the Python workers never receive columns
+    they don't read (the projection-pushdown analog of the reference's
+    early resize, ``inference.py:170``)."""
+    run_id = run_id or uuid.uuid4().hex[:16]
+    slim = pages.select("url", "html")
+    routed = salted_repartition(slim, opts)
+    return routed.mapInPandas(make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
+
+
+def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
+                   metrics_path: str | None = None,
+                   cfg: ExtractConfig = DEFAULT_CONFIG,
+                   opts: PipelineOptions = PipelineOptions(),
+                   run_id: str | None = None) -> dict:
+    """Full resumable run: anti-join → extract → append → metrics append.
+
+    Returns a small summary dict (row counts), not data — nothing big ever
+    lands on the driver.
+    """
+    run_id = run_id or uuid.uuid4().hex[:16]
+    done = completed_urls(spark, output_path)
+    todo = plan_todo(pages, done)
+    extracted = extract_dataframe(todo, cfg, opts, run_id=run_id)
+    extracted.write.mode("append").parquet(output_path)
+
+    # lineage/metrics from committed data only (column-pruned read-back)
+    committed = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
+    metrics = (
+        committed.groupBy("run_id", "partition_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_bytes_in").alias("n_bytes_in"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_failed"),
+            (F.sum("parse_us") / F.lit(1000)).cast("long").alias("wall_ms"),
+        )
+        .withColumn("git_hash", F.lit(_git_hash()))
+        .withColumn("config_hash", F.lit(cfg.config_hash()))
+        .select([f.name for f in METRICS_SCHEMA.fields])
+    )
+    if metrics_path:
+        metrics.write.mode("append").parquet(metrics_path)
+        n_parts = spark.read.parquet(metrics_path).filter(
+            F.col("run_id") == run_id).count()
+    else:
+        n_parts = metrics.count()
+    n_done = committed.count()
+    return {"run_id": run_id, "rows_written": n_done, "partitions": n_parts}
