@@ -1,38 +1,626 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction on sf0.001.
+``queries()`` exposes one DataFrame-returning callable per implemented
+operator (SURVEY.md §2 + the training-data-pipeline operators);
+``oracle_sql()`` gives the exact DuckDB-SQL mirror for every
+SQL-expressible one. Column names AND types are aligned on both sides;
+integer hash parity uses ``conv(substring(md5(x),1,15),16,10)`` which
+evaluates identically in Spark SQL and DuckDB.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from webextract.config import ExtractConfig
+from webextract.evaluate import confusion_matrix, iou_metrics, summary_metrics
+from webextract.fixtures import pages_dataframe, pages_from_documents
+from webextract.functions.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    with_minhash,
+)
+from webextract.functions.multimodal import media_features
+from webextract.functions.similarity import (
+    knn_bruteforce,
+    lsh_ann_topk,
+    near_duplicate_pairs,
+)
+from webextract.functions.text import with_text_features
+from webextract.pipeline import PipelineOptions, extract_dataframe, plan_todo, ship_package
+
+# ---------------------------------------------------------------------------
+# shared inputs
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_URL_SQL = "'https://docs.test/' || CAST(doc_id AS VARCHAR)"
+_H60 = "CAST(CAST('0x' || substr(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
+
+# duplicated corpus: documents ∪ re-keyed copies of every 7th doc — gives
+# the dedup operators real duplicate groups to find (deterministic, both
+# engines construct it identically)
+_CORPUS_SQL = (
+    "SELECT doc_id, text, lang, source FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text, lang, source "
+    "FROM documents WHERE doc_id % 7 = 0"
+)
+
+_SHINGLE_SQL = f"""
+  t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus),
+  s AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [] END AS sh
+        FROM t)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    copies = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return docs.unionByName(copies)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: HTML → extracted text + typed layout spans per url."""
+    return _extracted(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_extract_text(spark, sf_dir):
+    return _extracted(spark, sf_dir).select("url", "extracted_text")
+
+
+def q_extract_spans(spark, sf_dir):
+    return (
+        _extracted(spark, sf_dir)
+        .select("url", F.explode("spans").alias("s"))
+        .select(
+            "url", F.col("s.span_id").alias("span_id"),
+            F.col("s.region_class").alias("region_class"),
+            F.col("s.region_type").alias("region_type"),
+            F.col("s.char_start").alias("char_start"),
+            F.col("s.char_end").alias("char_end"),
+            F.col("s.reading_order").alias("reading_order"),
+            F.col("s.confidence").alias("confidence"),
+        )
+    )
+
+
+def q_extract_stats(spark, sf_dir):
+    return _extracted(spark, sf_dir).select(
+        "url", "n_spans", "mean_confidence", "content_kind")
+
+
+def q_mean_confidence(spark, sf_dir):
+    return _extracted(spark, sf_dir).agg(
+        F.round(F.avg("mean_confidence"), 6).alias("avg_confidence"))
+
+
+def q_resume_todo(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    done = pages.filter(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long") % 2 == 0
+    ).select("url")
+    return plan_todo(pages, done).select("url")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_dup_corpus(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return with_minhash(_dup_corpus(spark, sf_dir))
+
+
+def q_lsh_candidates(spark, sf_dir):
+    return lsh_candidate_pairs(with_minhash(_dup_corpus(spark, sf_dir)))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash16(_docs(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), threshold=0.8)
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+def q_near_dup_embeddings(spark, sf_dir):
+    # threshold 0.3: the synthetic embeddings are near-orthogonal (max
+    # pairwise cosine ~0.40), so 0.3 yields a real, non-empty match set
+    return near_duplicate_pairs(
+        _embeddings(spark, sf_dir).filter(F.col("vec_id") < 100),
+        threshold=0.3,
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    feats = with_text_features(_docs(spark, sf_dir))
+    return feats.groupBy("lang", "guess_lang").agg(
+        F.count("*").alias("n_docs"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return with_text_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_stop", "stop_ratio", "quality_score",
+        "fingerprint")
+
+
+def q_token_counts_by_source(spark, sf_dir):
+    feats = with_text_features(_docs(spark, sf_dir))
+    return feats.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
+
+
+def q_top_longest_docs(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .select("doc_id", "n_chars").limit(10)
+    )
+
+
+def q_dup_url_check(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir).withColumn(
+        "url",
+        F.concat(F.lit("https://docs.test/"),
+                 (F.col("doc_id") % 100000).cast("string")),
+    )
+    return (
+        corpus.groupBy("url").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _events_pairs(spark, sf_dir):
+    """(pred, gt) over a shared {high, low} label space: gt buckets the
+    true value; pred buckets a deterministically perturbed value — a
+    stand-in classifier whose agreement the A1/A2 metrics measure."""
+    ev = _events(spark, sf_dir)
+    noisy = F.col("value") + (F.col("event_id") % 20) - 10
+    return ev.select(
+        F.when(noisy >= 50, F.lit("high")).otherwise(F.lit("low"))
+        .alias("pred"),
+        F.when(F.col("value") >= 50, F.lit("high")).otherwise(F.lit("low"))
+        .alias("gt"),
+    )
+
+
+def q_events_confusion(spark, sf_dir):
+    return confusion_matrix(_events_pairs(spark, sf_dir))
+
+
+def q_events_iou(spark, sf_dir):
+    return summary_metrics(iou_metrics(confusion_matrix(
+        _events_pairs(spark, sf_dir))))
+
+
+def q_events_windowed(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def q_media_features(spark, sf_dir):
+    ship_package(spark)
+    from webextract.functions.text import norm_text
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(norm_text("text"), "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+    )
+    return media_features(media, backend="fake")
+
+
+# -- rows-only (no SQL oracle): approximate / fixture-driven -----------------
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+def q_extract_fixture_pages(spark, sf_dir):
+    ship_package(spark)
+    n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 500)
+    pages = pages_dataframe(spark, n, num_partitions=8,
+                            giant_every=500, giant_repeat=5000)
+    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_text": q_extract_text,
+        "extract_spans": q_extract_spans,
+        "extract_stats": q_extract_stats,
+        "mean_confidence": q_mean_confidence,
+        "resume_todo": q_resume_todo,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "knn_cosine": q_knn_cosine,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts_by_source": q_token_counts_by_source,
+        "top_longest_docs": q_top_longest_docs,
+        "dup_url_check": q_dup_url_check,
+        "events_confusion": q_events_confusion,
+        "events_iou": q_events_iou,
+        "events_windowed": q_events_windowed,
+        "media_features": q_media_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "extract_fixture_pages": q_extract_fixture_pages,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def _sql_minhash_select() -> str:
+    # mirror of dedup.with_minhash: hash k = k-th 8-hex slice of ONE md5
+    cols = []
+    for k in range(4):
+        h = (f"CAST(CAST('0x' || substr(md5(x), {1 + 8 * k}, 8) AS UBIGINT)"
+             " AS BIGINT)")
+        cols.append(f"list_min(list_transform(sh, x -> {h})) AS mh{k}")
+    return ", ".join(cols)
+
+
+def _sql_simhash() -> str:
+    h = _H60.format(x="'s:' || tok")
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16))
+    bits = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(string_split({_NORM_SQL}, ' ')) AS tok
+               FROM documents),
+    h AS (SELECT doc_id, {h} AS h FROM t WHERE length(tok) > 0),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM v
     """
-    return {}
+
+
+def _sql_iou() -> str:
+    return f"""
+    WITH cm AS (
+      SELECT CASE WHEN value + (event_id % 20) - 10 >= 50
+                  THEN 'high' ELSE 'low' END AS pred,
+             CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS gt,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    classes AS (SELECT DISTINCT pred AS cls FROM cm
+                UNION SELECT DISTINCT gt FROM cm),
+    tp AS (SELECT gt AS cls, n AS tp FROM cm WHERE pred = gt),
+    fp AS (SELECT pred AS cls, SUM(n) AS fp FROM cm WHERE pred <> gt GROUP BY 1),
+    fn AS (SELECT gt AS cls, SUM(n) AS fn FROM cm WHERE pred <> gt GROUP BY 1),
+    j AS (SELECT c.cls,
+                 COALESCE(tp.tp, 0) AS tp,
+                 COALESCE(fp.fp, 0) AS fp,
+                 COALESCE(fn.fn, 0) AS fn
+          FROM classes c LEFT JOIN tp ON c.cls = tp.cls
+          LEFT JOIN fp ON c.cls = fp.cls LEFT JOIN fn ON c.cls = fn.cls),
+    per AS (SELECT cls, tp, fp, fn,
+                   CASE WHEN tp + fp + fn > 0
+                        THEN ROUND(tp / (tp + fp + fn), 6) END AS iou,
+                   CASE WHEN tp + fn > 0
+                        THEN ROUND(tp / (tp + fn), 6) END AS acc FROM j)
+    SELECT ROUND(AVG(iou), 6) AS miou, ROUND(AVG(acc), 6) AS macc,
+           ROUND(SUM(tp) / (SUM(tp) + SUM(fn)), 6) AS pacc
+    FROM per
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    norm, url, corpus = _NORM_SQL, _URL_SQL, _CORPUS_SQL
+    return {
+        "extract_text": f"""
+            SELECT {url} AS url,
+                   CASE WHEN length({norm}) >= 3 THEN {norm} ELSE '' END
+                     AS extracted_text
+            FROM documents
+        """,
+        "extract_spans": f"""
+            WITH n AS (SELECT doc_id, {norm} AS norm FROM documents)
+            SELECT {url} AS url,
+                   sha256({url} || '|paragraph|0') AS span_id,
+                   'paragraph' AS region_class,
+                   'TextRegion' AS region_type,
+                   CAST(0 AS BIGINT) AS char_start,
+                   CAST(length(norm) AS BIGINT) AS char_end,
+                   CAST(0 AS INTEGER) AS reading_order,
+                   CAST(1.0 AS DOUBLE) AS confidence
+            FROM n WHERE length(norm) >= 3
+        """,
+        "extract_stats": f"""
+            WITH n AS (SELECT doc_id, {norm} AS norm FROM documents)
+            SELECT {url} AS url,
+                   CAST(CASE WHEN length(norm) >= 3 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_spans,
+                   CASE WHEN length(norm) >= 3 THEN CAST(1.0 AS DOUBLE)
+                        ELSE NULL END AS mean_confidence,
+                   CASE WHEN length(norm) = 0 THEN 'empty' ELSE 'html' END
+                     AS content_kind
+            FROM n
+        """,
+        "mean_confidence": f"""
+            WITH n AS (SELECT {norm} AS norm FROM documents)
+            SELECT ROUND(AVG(CASE WHEN length(norm) >= 3
+                                  THEN CAST(1.0 AS DOUBLE) END), 6)
+                   AS avg_confidence
+            FROM n
+        """,
+        "resume_todo": f"""
+            SELECT {url} AS url FROM documents WHERE doc_id % 2 <> 0
+        """,
+        "dedup_exact": f"""
+            WITH corpus AS ({corpus}),
+            n AS (SELECT doc_id, {norm} AS norm FROM corpus)
+            SELECT md5(norm) AS fingerprint, COUNT(*) AS n_docs,
+                   MIN(doc_id) AS keep_id
+            FROM n GROUP BY 1
+        """,
+        "minhash_signatures": f"""
+            WITH corpus AS ({corpus}), {_SHINGLE_SQL}
+            SELECT doc_id, {_sql_minhash_select()} FROM s
+        """,
+        "lsh_candidates": f"""
+            WITH corpus AS ({corpus}), {_SHINGLE_SQL},
+            sig AS (SELECT doc_id, {_sql_minhash_select()} FROM s),
+            bands AS (
+              SELECT doc_id, md5('0' || '|' || CAST(mh0 AS VARCHAR) || '|'
+                                 || CAST(mh1 AS VARCHAR)) AS band_key
+              FROM sig WHERE mh0 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, md5('1' || '|' || CAST(mh2 AS VARCHAR) || '|'
+                                 || CAST(mh3 AS VARCHAR))
+              FROM sig WHERE mh0 IS NOT NULL)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "simhash": _sql_simhash(),
+        "jaccard_pairs": f"""
+            WITH corpus AS ({corpus}), {_SHINGLE_SQL},
+            ds AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM s),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_common
+              FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT c.doc_a, c.doc_b,
+                   ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+                     AS jaccard
+            FROM common c
+            JOIN sizes sa ON c.doc_a = sa.doc_id
+            JOIN sizes sb ON c.doc_b = sb.doc_id
+            WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+        """,
+        "knn_cosine": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            n AS (SELECT vec_id, v,
+                         list_sum(list_transform(v, x -> x * x)) AS nsq
+                  FROM e),
+            p AS (SELECT vec_id AS probe_id, v AS pv, nsq AS pnsq
+                  FROM n WHERE vec_id < 10),
+            scored AS (
+              SELECT p.probe_id, n.vec_id AS neighbor_id,
+                     ROUND(list_sum(list_transform(range(1, len(n.v) + 1),
+                                                   i -> p.pv[i] * n.v[i]))
+                           / sqrt(p.pnsq * n.nsq), 4) AS cos_sim
+              FROM n CROSS JOIN p WHERE n.vec_id <> p.probe_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                  FROM scored)
+            SELECT probe_id, neighbor_id, cos_sim,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "near_dup_embeddings": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id < 100),
+            n AS (SELECT vec_id, v,
+                         list_sum(list_transform(v, x -> x * x)) AS nsq
+                  FROM e)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                                                 i -> a.v[i] * b.v[i]))
+                         / sqrt(a.nsq * b.nsq), 4) AS cos_sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                                                i -> a.v[i] * b.v[i]))
+                        / sqrt(a.nsq * b.nsq), 4) >= 0.3
+        """,
+        "lang_id": _lang_id_sql(),
+        "quality_scores": _quality_sql(),
+        "token_counts_by_source": f"""
+            WITH n AS (SELECT source, {norm} AS norm FROM documents),
+            t AS (SELECT source,
+                         CASE WHEN length(norm) = 0 THEN 0
+                              ELSE len(string_split(norm, ' ')) END
+                           AS n_tokens
+                  FROM n)
+            SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(n_tokens), 6) AS avg_tokens
+            FROM t GROUP BY source
+        """,
+        "top_longest_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+        """,
+        "dup_url_check": f"""
+            WITH corpus AS ({corpus})
+            SELECT 'https://docs.test/' || CAST(doc_id % 100000 AS VARCHAR)
+                     AS url,
+                   COUNT(*) AS n
+            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "events_confusion": """
+            SELECT CASE WHEN value + (event_id % 20) - 10 >= 50
+                        THEN 'high' ELSE 'low' END AS pred,
+                   CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS gt,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "events_iou": _sql_iou(),
+        "events_windowed": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                     AS window_start_epoch,
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "media_features": _media_sql(),
+        # ann_lsh_topk / extract_fixture_pages: intentionally no oracle —
+        # approximate / fixture-input ops; validated in pytest instead
+        # (ann vs brute-force recall, fixture goldens byte-identical).
+    }
+
+
+def _lang_id_sql() -> str:
+    from webextract.functions.text import EN_MARKERS
+
+    norm = _NORM_SQL
+    hits = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in EN_MARKERS)
+    return f"""
+        WITH n AS (SELECT lang, {norm} AS norm FROM documents),
+        t AS (SELECT lang, ' ' || norm || ' ' AS p,
+                     CASE WHEN length(norm) = 0 THEN 0
+                          ELSE len(string_split(norm, ' ')) END AS n_tokens
+              FROM n),
+        g AS (SELECT lang,
+                     CASE WHEN n_tokens > 0
+                               AND ({hits}) / CAST(n_tokens AS DOUBLE) >= 0.04
+                          THEN 'en' ELSE 'und' END AS guess_lang
+              FROM t)
+        SELECT lang, guess_lang, COUNT(*) AS n_docs
+        FROM g GROUP BY 1, 2
     """
-    return {}
+
+
+def _quality_sql() -> str:
+    from webextract.functions.text import STOPWORDS
+
+    norm = _NORM_SQL
+    stop_hits = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in STOPWORDS)
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS norm FROM documents),
+        t AS (SELECT doc_id, norm, ' ' || norm || ' ' AS p,
+                     CASE WHEN length(norm) = 0 THEN 0
+                          ELSE len(string_split(norm, ' ')) END AS n_tokens
+              FROM n),
+        f AS (SELECT doc_id, norm, n_tokens, ({stop_hits}) AS n_stop
+              FROM t),
+        r AS (SELECT doc_id, norm, n_tokens, n_stop,
+                     ROUND(CASE WHEN n_tokens > 0
+                                THEN n_stop / CAST(n_tokens AS DOUBLE)
+                                ELSE 0.0 END, 6) AS stop_ratio
+              FROM f)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_stop AS BIGINT) AS n_stop, stop_ratio,
+               ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0
+                           WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END
+                      + LEAST(stop_ratio * 4, 1.0)) / 2, 6) AS quality_score,
+               md5(norm) AS fingerprint
+        FROM r
+    """
+
+
+def _media_sql() -> str:
+    norm = _NORM_SQL
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS norm FROM documents),
+        m AS (SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INTEGER)
+                          WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     norm, md5(norm) AS digest
+              FROM n)
+        SELECT media_id, kind,
+               CAST(length(norm) AS BIGINT) AS n_bytes, digest,
+               CAST(1 + CAST('0x' || substr(digest, 1, 4) AS UBIGINT) % 1024
+                    AS INTEGER) AS width,
+               CAST(1 + CAST('0x' || substr(digest, 5, 4) AS UBIGINT) % 1024
+                    AS INTEGER) AS height,
+               CASE WHEN kind = 'video'
+                    THEN CAST(1 + CAST('0x' || substr(digest, 9, 4)
+                                       AS UBIGINT) % 300 AS INTEGER)
+                    ELSE NULL END AS n_frames,
+               CAST(NULL AS VARCHAR) AS error
+        FROM m
+    """

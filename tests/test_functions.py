@@ -1,0 +1,189 @@
+"""Hand-computed pins for the training-data-pipeline operators (dedup,
+similarity, text features, evaluation math, multimodal stubs)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from webextract.evaluate import (
+    confusion_matrix, iou_metrics, span_agreement, summary_metrics,
+)
+from webextract.functions.dedup import (
+    exact_duplicates, lsh_candidate_pairs, ngram_jaccard_pairs,
+    simhash16, with_minhash,
+)
+from webextract.functions.multimodal import media_features
+from webextract.functions.similarity import knn_bruteforce, lsh_ann_topk
+from webextract.functions.text import with_text_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="a completely different document about spark sql"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=5, text="xy"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicates(docs):
+    out = {r["fingerprint"]: (r["n_docs"], r["keep_id"])
+           for r in exact_duplicates(docs).collect()}
+    dup_fp = hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert out[dup_fp] == (2, 1)
+    assert sum(n for n, _ in out.values()) == 5
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+           for r in with_minhash(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    assert sig[5] == (None, None, None, None)  # < 3 tokens -> no shingles
+
+
+def test_lsh_candidates_catch_exact_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(with_minhash(docs)).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    # near-dup 1 vs 4 shares most shingles; may or may not band-collide,
+    # but completely-different doc 3 must not pair with 5 (no signature)
+    assert not any(5 in p for p in pairs)
+
+
+def test_ngram_jaccard(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    # doc 4 differs in last word: shingle sets are 7-element, 6 common
+    # jaccard = 6 / (7 + 7 - 6) = 0.75
+    assert out[(1, 4)] == 0.75
+    assert out[(2, 4)] == 0.75
+    assert (1, 3) not in out
+
+
+def test_simhash_identical_and_sensitivity(docs):
+    out = {r["doc_id"]: r["simhash16"] for r in simhash16(docs).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << 16)
+    assert out[1] != out[3]
+
+
+def test_knn_bruteforce_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+         for i in range(30)])
+    out = knn_bruteforce(df, df.filter(F.col("vec_id") < 3), k=2).collect()
+    got = {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+           for r in out}
+    v = vecs.astype(np.float64)
+    norms = np.sqrt((v * v).sum(axis=1))
+    for p in range(3):
+        cos = (v @ v[p]) / (norms * norms[p])
+        cos[p] = -np.inf
+        order = sorted(range(30), key=lambda i: (-round(cos[i], 4), i))
+        for rank in (1, 2):
+            nb, sc = got[(p, rank)]
+            assert nb == order[rank - 1]
+            assert sc == pytest.approx(round(cos[nb], 4), abs=1e-9)
+
+
+def test_lsh_ann_subset_of_bucket_and_scores_exact(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+         for i in range(60)])
+    probes = df.filter(F.col("vec_id") < 5)
+    approx = lsh_ann_topk(df, probes, k=3, n_planes=4).collect()
+    exact = {(r["probe_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in knn_bruteforce(df, probes, k=60).collect()}
+    assert len(approx) > 0
+    for r in approx:
+        # every approximate hit carries the EXACT cosine score
+        assert exact[(r["probe_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_text_features_pins(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="  the cat and   the dog of a  house ")])
+    r = with_text_features(df).collect()[0]
+    assert r["norm"] == "the cat and the dog of a house"
+    assert r["n_tokens"] == 8
+    # stopwords present: the, and, the, of, a -> 5
+    assert r["n_stop"] == 5
+    assert r["stop_ratio"] == 0.625
+    assert r["guess_lang"] == "en"
+    assert r["fingerprint"] == hashlib.md5(
+        b"the cat and the dog of a house").hexdigest()
+
+
+def test_confusion_and_iou_hand_computed(spark):
+    # 10 pairs: a/a x4, a/b x2, b/b x3, b/a x1
+    pairs = spark.createDataFrame(
+        [Row(pred="a", gt="a")] * 4 + [Row(pred="a", gt="b")] * 2
+        + [Row(pred="b", gt="b")] * 3 + [Row(pred="b", gt="a")] * 1)
+    cm = confusion_matrix(pairs)
+    got = {(r["pred"], r["gt"]): r["n"] for r in cm.collect()}
+    assert got == {("a", "a"): 4, ("a", "b"): 2, ("b", "b"): 3, ("b", "a"): 1}
+    per = {r["cls"]: r for r in iou_metrics(cm).collect()}
+    # a: tp=4 fp=2 fn=1 -> iou 4/7 ; b: tp=3 fp=1 fn=2 -> iou 3/6
+    assert per["a"]["iou"] == round(4 / 7, 6)
+    assert per["b"]["iou"] == 0.5
+    s = summary_metrics(iou_metrics(cm)).collect()[0]
+    # avg of the ROUNDED per-class ious (0.571429, 0.5), HALF_UP at 6 dp
+    assert s["miou"] == 0.535715
+    assert s["pacc"] == 0.7
+
+
+def test_span_agreement_exact_match(spark):
+    def mk(url, spans):
+        return Row(url=url, spans=[
+            Row(span_id=f"{url}-{i}", region_class="paragraph",
+                region_type="TextRegion", char_start=s, char_end=e,
+                reading_order=i, confidence=1.0)
+            for i, (s, e) in enumerate(spans)])
+
+    extracted = spark.createDataFrame([mk("u1", [(0, 5), (6, 9)]),
+                                       mk("u2", [(0, 4)])])
+    expected = spark.createDataFrame([mk("u1", [(0, 5), (6, 9)]),
+                                      mk("u2", [(0, 7)])])  # bounds differ
+    out = {r["url"]: r for r in
+           span_agreement(extracted, expected).collect()}
+    assert out["u1"]["exact_match"] is True
+    assert out["u2"]["exact_match"] is False
+    assert out["u2"]["n_matched"] == 0
+
+
+def test_media_features_fake_decode_pins(spark):
+    payload = b"some media payload"
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=payload, kind="video"),
+         Row(media_id=2, payload=None, kind="image")])
+    from webextract.pipeline import ship_package
+    ship_package(spark)
+    out = {r["media_id"]: r for r in media_features(df).collect()}
+    digest = hashlib.md5(payload).hexdigest()
+    assert out[1]["digest"] == digest
+    assert out[1]["width"] == 1 + int(digest[0:4], 16) % 1024
+    assert out[1]["height"] == 1 + int(digest[4:8], 16) % 1024
+    assert out[1]["n_frames"] == 1 + int(digest[8:12], 16) % 300
+    assert out[1]["n_bytes"] == len(payload)
+    assert out[2]["error"] == "null payload"
+
+
+def test_media_real_backend_is_stubbed(spark):
+    df = spark.createDataFrame([Row(media_id=1, payload=b"x", kind="image")])
+    out = media_features(df, backend="real").collect()[0]
+    assert "NotImplementedError" in out["error"]

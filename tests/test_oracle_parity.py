@@ -1,0 +1,80 @@
+"""Spark-vs-DuckDB value parity for every oracle-checked query — a local
+mirror of the driver's CORRECTNESS gate (row count + schema + order-
+insensitive values), run at sf0.001 so failures surface before the driver
+runs at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(value):
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return round(value, 9)
+    if isinstance(value, (int, str, bool)):
+        return value
+    return str(value)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+ORACLE = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_parity(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    res = duck.execute(ORACLE[name]).fetchall()
+    dcols = [d[0] for d in duck.description]
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(res), (
+        f"{name}: row count {len(srows)} (spark) vs {len(res)} (duckdb)")
+
+    sset, _ = _rowset(scols, [tuple(r) for r in srows])
+    dset, _ = _rowset(dcols, res)
+    mismatches = [
+        (a, b) for a, b in zip(sset, dset) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -3,10 +3,12 @@
 Dispatch mirrors the reference's reflective ``build_{mode}`` converter
 dispatch (``page_xml/xml_converters/xml_converter.py:72-107``): a per-row
 content sniff routes each payload to the HTML or PDF branch. The batch API
-is the *only* Python on the hot path and is Arrow-batched via
-``mapInPandas`` — the engine's analog of the reference's DataLoader worker
-processes (``inference.py:377-387``), with the JVM↔Python Arrow socket as
-the process boundary (once per batch, never per row).
+is the *only* Python on the hot path and runs via ``mapInArrow`` — the
+engine's analog of the reference's DataLoader worker processes
+(``inference.py:377-387``), with the JVM↔Python Arrow socket as the
+process boundary (once per batch, never per row). Arrow RecordBatches are
+consumed and produced directly (no pandas materialization): for a
+binary-payload pipeline the pandas detour costs ~4x on batch conversion.
 """
 
 from __future__ import annotations
@@ -15,13 +17,23 @@ import time
 from collections.abc import Iterator
 from typing import Any
 
-import pandas as pd
+import pyarrow as pa
 
 from .config import DEFAULT_CONFIG, ExtractConfig
 from .html_extract import ExtractResult, extract_html
 from .pdf_extract import extract_pdf, is_pdf
 
 _EMPTY = ExtractResult(text="", spans=())
+
+_SPAN_TYPE = pa.list_(pa.struct([
+    ("span_id", pa.string()),
+    ("region_class", pa.string()),
+    ("region_type", pa.string()),
+    ("char_start", pa.int64()),
+    ("char_end", pa.int64()),
+    ("reading_order", pa.int32()),
+    ("confidence", pa.float64()),
+]))
 
 
 def extract_record(url: str, payload: bytes | None,
@@ -75,8 +87,29 @@ def extract_record(url: str, payload: bytes | None,
     }
 
 
+def _rows_to_batch(rows: list[dict], pid: int, run_id: str) -> pa.RecordBatch:
+    n = len(rows)
+    return pa.record_batch({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "extracted_text": pa.array(
+            [r["extracted_text"] for r in rows], pa.string()),
+        "spans": pa.array([r["spans"] for r in rows], _SPAN_TYPE),
+        "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+        "mean_confidence": pa.array(
+            [r["mean_confidence"] for r in rows], pa.float64()),
+        "content_kind": pa.array(
+            [r["content_kind"] for r in rows], pa.string()),
+        "error": pa.array([r["error"] for r in rows], pa.string()),
+        "n_bytes_in": pa.array([r["n_bytes_in"] for r in rows], pa.int64()),
+        "parse_us": pa.array([r["parse_us"] for r in rows], pa.int64()),
+        "partition_id": pa.array([pid] * n, pa.int32()),
+        "run_id": pa.array([run_id] * n, pa.string()),
+    })
+
+
 def make_extract_batches(cfg: ExtractConfig, run_id: str):
-    """Build the ``mapInPandas`` function: Iterator[pdf] → Iterator[pdf].
+    """Build the ``mapInArrow`` function: Iterator[RecordBatch] →
+    Iterator[RecordBatch].
 
     The closure carries only the frozen config + run id (the broadcast-
     variable analog of the reference's checkpoint load, S12). Requires
@@ -84,19 +117,18 @@ def make_extract_batches(cfg: ExtractConfig, run_id: str):
     ``EXTRACTED_SCHEMA`` rows.
     """
 
-    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def extract_batches(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         for batch in batches:
-            rows = [
-                extract_record(url, payload, cfg)
-                for url, payload in zip(batch["url"], batch["html"])
-            ]
-            out = pd.DataFrame.from_records(rows)
-            out["partition_id"] = pid
-            out["run_id"] = run_id
-            yield out
+            urls = batch.column("url").to_pylist()
+            payloads = batch.column("html").to_pylist()
+            rows = [extract_record(u, p, cfg)
+                    for u, p in zip(urls, payloads)]
+            yield _rows_to_batch(rows, pid, run_id)
 
     return extract_batches

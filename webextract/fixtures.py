@@ -57,23 +57,30 @@ def make_pdf(title: str, paragraphs: list[str]) -> bytes:
 
 
 def render_page(idx: int, seed: int = 42, giant_every: int = 1000,
-                giant_repeat: int = 20000) -> dict:
-    """One deterministic pages row. Template chosen by ``idx % 10``."""
+                giant_repeat: int = 20000, body_scale: int = 1) -> dict:
+    """One deterministic pages row. Template chosen by ``idx % 10``.
+
+    ``body_scale`` multiplies per-template body sizes (1 → ~1 KB toy pages
+    for unit tests; 20-40 → realistic Common-Crawl-sized pages for the
+    bench, where per-doc parse work must dominate fixed overheads).
+    """
     r = _rng(idx, seed)
+    bs = max(1, body_scale)
     template = idx % 10
     url = f"https://example-{template}.test/p{idx // 10}/{idx}"
     lang = _LANGS[idx % len(_LANGS)]
 
     if template == 0:  # plain article (FIXTURES template 1)
         body = f"<h1>{_sentence(r, 4)}</h1>" + "".join(
-            f"<p>{_sentence(r, 12)}</p>" for _ in range(3)
+            f"<p>{_sentence(r, 12)}</p>" for _ in range(3 * bs)
         )
         html = f"<html><body>{body}</body></html>".encode()
     elif template == 1:  # article + nav/sidebar/footer boilerplate (t2)
         html = (
             f"<html><body><nav><ul>{_nav_links(r, 6)}</ul></nav>"
             f"<article><h1>{_sentence(r, 3)}</h1>"
-            f"<p>{_sentence(r, 15)}</p><p>{_sentence(r, 10)}</p></article>"
+            + "".join(f"<p>{_sentence(r, 12)}</p>" for _ in range(2 * bs))
+            + f"</article>"
             f"<aside><p>{_sentence(r, 6)}</p></aside>"
             f'<footer><p><a href="/a">{_sentence(r, 5)}</a></p></footer>'
             f"</body></html>"
@@ -81,11 +88,15 @@ def render_page(idx: int, seed: int = 42, giant_every: int = 1000,
     elif template == 2:  # merge-alias case: bare <title> (t3)
         html = (
             f"<html><title>{_sentence(r, 3)}</title>"
-            f"<body><p>{_sentence(r, 12)}</p></body></html>"
+            "<body>"
+            + "".join(f"<p>{_sentence(r, 12)}</p>" for _ in range(bs))
+            + "</body></html>"
         ).encode()
     elif template == 3:  # lists / tables / pre / blockquote / caption (t4)
         html = (
-            f"<html><body><ul><li>{_sentence(r, 4)}</li><li>{_sentence(r, 5)}</li></ul>"
+            "<html><body><ul>"
+            + "".join(f"<li>{_sentence(r, 4)}</li>" for _ in range(2 * bs))
+            + "</ul>"
             f"<table><tr><td>{_sentence(r, 3)}</td><td>{_sentence(r, 3)}</td></tr></table>"
             f"<pre>{_sentence(r, 6)}</pre>"
             f"<blockquote>{_sentence(r, 8)}</blockquote>"
@@ -119,7 +130,8 @@ def render_page(idx: int, seed: int = 42, giant_every: int = 1000,
         else:  # undeclared latin-1 bytes
             html = f"<html><body><p>{text}</p></body></html>".encode("latin-1")
     elif template == 7:  # PDF branch
-        html = make_pdf(_sentence(r, 3), [_sentence(r, 9), _sentence(r, 7)])
+        html = make_pdf(_sentence(r, 3),
+                        [_sentence(r, 9) for _ in range(2 * bs)])
     elif template == 8 and giant_every and idx % giant_every == 8:  # skew (t7)
         html = (
             "<html><body>" + f"<p>{_sentence(r, 10)}</p>" * giant_repeat
@@ -128,7 +140,8 @@ def render_page(idx: int, seed: int = 42, giant_every: int = 1000,
     else:  # mixed default article
         html = (
             f"<html><body><h2>{_sentence(r, 3)}</h2>"
-            f"<p>{_sentence(r, 14)}</p></body></html>"
+            + "".join(f"<p>{_sentence(r, 14)}</p>" for _ in range(bs))
+            + "</body></html>"
         ).encode()
 
     return {
@@ -141,18 +154,21 @@ def render_page(idx: int, seed: int = 42, giant_every: int = 1000,
 
 
 def gen_pages(n: int, seed: int = 42, giant_every: int = 1000,
-              giant_repeat: int = 20000) -> list[dict]:
-    return [render_page(i, seed, giant_every, giant_repeat) for i in range(n)]
+              giant_repeat: int = 20000, body_scale: int = 1) -> list[dict]:
+    return [render_page(i, seed, giant_every, giant_repeat, body_scale)
+            for i in range(n)]
 
 
 def pages_dataframe(spark: SparkSession, n: int, seed: int = 42,
                     num_partitions: int = 8, giant_every: int = 1000,
-                    giant_repeat: int = 20000) -> DataFrame:
+                    giant_repeat: int = 20000,
+                    body_scale: int = 1) -> DataFrame:
     """Distributed fixture build: rows are rendered ON EXECUTORS from
     indices (a range scan + mapInPandas would also work; the row count here
     is test-scale so parallelize of indices is fine)."""
     rdd = spark.sparkContext.parallelize(range(n), num_partitions)
-    rows = rdd.map(lambda i: render_page(i, seed, giant_every, giant_repeat))
+    rows = rdd.map(
+        lambda i: render_page(i, seed, giant_every, giant_repeat, body_scale))
     return spark.createDataFrame(rows, PAGES_SCHEMA)
 
 

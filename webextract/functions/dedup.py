@@ -1,0 +1,211 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All built-in-function expressions (whole-stage codegen, no Python on the
+hot path). Shuffle discipline at 100 TB:
+
+- exact dedup: one hash-partitioned aggregation on the 128-bit content
+  fingerprint (map-side partial agg makes near-duplicate-free corpora
+  cheap);
+- MinHash: signatures are computed per-row with **zero shuffle**
+  (array expressions over the row's own shingles); only the LSH
+  band-bucket self-join shuffles, on band keys whose cardinality ~
+  corpus size — the classic shingle→minhash→band→bucket-join plan;
+- n-gram Jaccard: the shingle self-join is quadratic per bucket, so it is
+  meant to run on LSH *candidates* at scale (at test scale it runs
+  directly and doubles as the LSH ground truth).
+
+Integer hashes use the md5→conv trick (see package docstring) so every
+operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import norm_text
+
+N_MINHASH = 4
+SHINGLE_W = 3
+
+
+def hash60(col: Column) -> Column:
+    """60-bit bigint from md5 — identical in Spark SQL and DuckDB."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def shingles(norm: Column, w: int = SHINGLE_W) -> Column:
+    """Word w-gram shingles of normalized text (empty array if < w words).
+
+    Pure array expressions: sequence + slice + array_join run inside
+    codegen; no explode, no shuffle.
+    """
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_minhash(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 n_hashes: int = N_MINHASH) -> DataFrame:
+    """documents → (id, mh0..mh{n-1}) MinHash signatures, zero shuffle.
+
+    All ``n_hashes`` minhashes derive from ONE md5 per shingle: hash k is
+    the k-th 8-hex-char (32-bit) slice of the digest. One digest instead
+    of n per shingle is a 4x saving on the dominant cost, and 32-bit
+    minhashes are ample for banding (per-shingle collision p = 2^-32).
+    Requires ``n_hashes <= 4``.
+    """
+    assert n_hashes <= 4, "one md5 digest yields at most 4x32-bit slices"
+    norm = norm_text(text_col)
+    sh = shingles(norm)
+
+    def _slice_hash(k: int):
+        # NB: must stay a 1-arg callable — F.transform/F.aggregate feed
+        # (element, index) to 2-arg callables, so a `_k=k` default would
+        # capture the array index instead of k
+        def f(d: Column) -> Column:
+            return F.conv(F.substring(d, 1 + 8 * k, 8), 16, 10).cast("long")
+
+        return f
+
+    # ONE fold over the digest array computes ALL minhashes: each shingle
+    # is md5'd exactly once (the digest is the fold's lambda variable, so
+    # Catalyst cannot duplicate the md5 per output column)
+    sentinel = F.lit(1 << 62).cast("long")
+    init = F.struct(*[sentinel.alias(f"mh{k}") for k in range(n_hashes)])
+    agg = F.aggregate(
+        F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8"))),
+        init,
+        lambda acc, d: F.struct(*[
+            F.least(acc[f"mh{k}"], _slice_hash(k)(d)).alias(f"mh{k}")
+            for k in range(n_hashes)
+        ]),
+    )
+    has_shingles = F.size(F.split(norm, " ")) >= SHINGLE_W
+    out = docs.select(
+        F.col(id_col), F.when(has_shingles, agg).alias("_mh"))
+    return out.select(
+        id_col,
+        *[F.col(f"_mh.mh{k}").alias(f"mh{k}") for k in range(n_hashes)])
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = N_MINHASH,
+                        band_size: int = 2) -> DataFrame:
+    """Band the signatures and self-join per band → candidate pairs (a<b).
+
+    Each band key is a hash of ``band_size`` consecutive minhashes; docs
+    sharing any band collide. The join key has ~corpus-size cardinality,
+    so the shuffle is balanced; a skewed bucket (e.g. the empty-text
+    signature) is bounded by dropping NULL-signature rows.
+    """
+    assert n_hashes % band_size == 0
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}").cast("string")
+                for j in range(band_size)]
+        key = F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
+        bands.append(
+            signatures.filter(F.col("mh0").isNotNull())
+            .select(F.col(id_col), key.alias("band_key"))
+        )
+    all_bands = bands[0]
+    for other in bands[1:]:
+        all_bands = all_bands.unionByName(other)
+    # materialize the (tiny) band table once: without this, the self-join
+    # recomputes the whole shingle->md5->minhash subtree per join side
+    all_bands = all_bands.persist()
+    left = all_bands.select(F.col(id_col).alias("doc_a"), "band_key")
+    right = all_bands.select(F.col(id_col).alias("doc_b"), "band_key")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup by content fingerprint: one hash aggregation.
+
+    Returns (fingerprint, n_docs, keep_id) — `keep_id` is the
+    deterministic survivor (min id), the resume-safe "keep first" rule.
+    """
+    fp = F.md5(F.encode(norm_text(text_col), "UTF-8"))
+    return (
+        docs.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over whitespace tokens (with multiplicity).
+
+    Classic two-phase plan: explode tokens → per-token hash60 → per-doc,
+    per-bit signed vote sums (one hash aggregation, map-side combined) →
+    bit reassembly. 16 bits keeps the oracle SQL tractable; the width is
+    a constant, not a design limit.
+    """
+    norm = norm_text(text_col)
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("h", hash60(F.concat(F.lit("s:"), F.col("tok"))))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(16):
+        sim = sim + F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(0)
+    return per_doc.select(F.col(id_col), sim.alias("simhash16"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.8) -> DataFrame:
+    """Pairs (a<b) with Jaccard similarity >= threshold over distinct
+    word 3-gram shingles. Exact; at scale feed it LSH candidates."""
+    doc_shingles = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(norm_text(text_col))).alias("sh"))
+        .distinct()
+    )
+    sizes = doc_shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = doc_shingles.select(F.col("id").alias("doc_a"), "sh")
+    b = doc_shingles.select(F.col("id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col("id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`knn_bruteforce` — exact cosine top-k: the correctness baseline.
+  Probe set × corpus cross join; fine when the probe side is small and
+  broadcastable (the common "score a batch of queries" shape).
+- :func:`near_duplicate_pairs` — all pairs above a cosine threshold
+  (embedding-cosine near-dup dedup).
+- :func:`lsh_ann_topk` — the scale path: deterministic random-hyperplane
+  LSH buckets shrink the candidate set from |corpus| to |bucket| before
+  exact scoring. Hyperplanes derive from md5 of (plane, dim) — no RNG
+  state, so any executor regenerates them identically.
+
+All dot products are built-in array expressions (``zip_with`` +
+``aggregate``), cast to double *before* multiplication so the fold is
+IEEE-identical to the DuckDB oracle's; scores are rounded to 4 dp before
+ranking so cross-engine ULP noise cannot flip an ordering (ties break on
+vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _prepared(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return embeddings.select(
+        F.col(id_col), v.alias("_v"), norm_sq(v).alias("_nsq")
+    )
+
+
+def cosine(va: Column, vb: Column, nsq_a: Column, nsq_b: Column) -> Column:
+    return F.round(dot(va, vb) / F.sqrt(nsq_a * nsq_b), 4)
+
+
+def knn_bruteforce(embeddings: DataFrame, probes: DataFrame, k: int = 3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of each probe (self excluded).
+
+    The probe side is broadcast — the corpus never shuffles; scoring is a
+    map-side nested loop, then a per-probe top-k window on a tiny
+    intermediate (|probes| * |corpus| rows reduced by rank<=k).
+    """
+    corpus = _prepared(embeddings, id_col, vec_col)
+    p = _prepared(probes, id_col, vec_col).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("_v").alias("_pv"), F.col("_nsq").alias("_pnsq"),
+    )
+    scored = (
+        corpus.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("_pv"), F.col("_v"),
+                   F.col("_pnsq"), F.col("_nsq")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def near_duplicate_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """All pairs (a<b) with cosine >= threshold. Exact — quadratic; at
+    scale run it per LSH bucket (see lsh_ann_topk) instead of globally."""
+    base = _prepared(embeddings, id_col, vec_col)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                    F.col("_nsq").alias("_na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                    F.col("_nsq").alias("_nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("_va"), F.col("_vb"),
+                       F.col("_na"), F.col("_nb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale path: random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane component signs,
+    derived from md5 — reproducible on any executor with no broadcast."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{plane}:{d}".encode()).digest()
+        comps.append(1.0 if h[0] % 2 == 0 else -1.0)
+    return comps
+
+
+def with_lsh_bucket(embeddings: DataFrame, n_planes: int = 8,
+                    dim: int | None = None, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """embedding → integer LSH bucket: sign pattern over n_planes
+    deterministic hyperplanes, folded into one int column."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array([F.lit(c) for c in _hyperplane(p, dim)])
+        side = F.when(dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + side
+    return embeddings.withColumn("lsh_bucket", bucket)
+
+
+def lsh_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
+                 n_planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the probe's LSH
+    bucket. One equi-join on the bucket key replaces the cross join —
+    the candidate set shrinks by ~2^n_planes, which is what survives at
+    10^9-vector scale (bucket-key shuffle instead of broadcast-nested-loop).
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    corpus = with_lsh_bucket(embeddings, n_planes, dim, id_col, vec_col)
+    corpus = _prepared(corpus, id_col, vec_col).join(
+        corpus.select(id_col, "lsh_bucket"), id_col
+    )
+    p = with_lsh_bucket(probes, n_planes, dim, id_col, vec_col)
+    p = _prepared(p, id_col, vec_col).join(
+        p.select(id_col, "lsh_bucket"), id_col
+    ).select(
+        F.col(id_col).alias("probe_id"), F.col("lsh_bucket"),
+        F.col("_v").alias("_pv"), F.col("_nsq").alias("_pnsq"),
+    )
+    scored = (
+        corpus.join(p, "lsh_bucket")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id", F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("_pv"), F.col("_v"),
+                   F.col("_pnsq"), F.col("_nsq")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )

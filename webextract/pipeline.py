@@ -157,7 +157,7 @@ def extract_dataframe(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     run_id = run_id or uuid.uuid4().hex[:16]
     slim = pages.select("url", "html")
     routed = salted_repartition(slim, opts)
-    return routed.mapInPandas(make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
+    return routed.mapInArrow(make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
 
 
 def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
