@@ -125,6 +125,20 @@ def q_extract_spans(spark, sf_dir):
     )
 
 
+def q_extract_line_spans(spark, sf_dir):
+    return (
+        _extracted(spark, sf_dir)
+        .select("url", F.explode("line_spans").alias("l"))
+        .select(
+            "url", F.col("l.line_id").alias("line_id"),
+            F.col("l.parent_span_id").alias("parent_span_id"),
+            F.col("l.char_start").alias("char_start"),
+            F.col("l.char_end").alias("char_end"),
+            F.col("l.line_order").alias("line_order"),
+        )
+    )
+
+
 def q_extract_stats(spark, sf_dir):
     return _extracted(spark, sf_dir).select(
         "url", "n_spans", "mean_confidence", "content_kind")
@@ -289,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
         "extract_spans": q_extract_spans,
+        "extract_line_spans": q_extract_line_spans,
         "extract_stats": q_extract_stats,
         "mean_confidence": q_mean_confidence,
         "resume_todo": q_resume_todo,
@@ -394,6 +409,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(norm) AS BIGINT) AS char_end,
                    CAST(0 AS INTEGER) AS reading_order,
                    CAST(1.0 AS DOUBLE) AS confidence
+            FROM n WHERE length(norm) >= 3
+        """,
+        "extract_line_spans": f"""
+            WITH n AS (SELECT doc_id, {norm} AS norm FROM documents)
+            SELECT {url} AS url,
+                   sha256({url} || '|line:paragraph|0') AS line_id,
+                   sha256({url} || '|paragraph|0') AS parent_span_id,
+                   CAST(0 AS BIGINT) AS char_start,
+                   CAST(length(norm) AS BIGINT) AS char_end,
+                   CAST(0 AS INTEGER) AS line_order
             FROM n WHERE length(norm) >= 3
         """,
         "extract_stats": f"""

@@ -194,3 +194,39 @@ def test_total_on_arbitrary_text(txt):
 def test_decode_payload_total():
     for payload in (b"", b"\xff\xfe\x00", b"\x80\x81", "ok".encode("utf-16")):
         assert isinstance(decode_payload(payload), str)
+
+
+# ---------------------------------------------------------------------------
+# line-level sub-spans (P7/P8 analog)
+# ---------------------------------------------------------------------------
+
+def test_line_spans_golden():
+    r = _run(b"<h1>Big Title</h1><p>first para text</p><p>second para text</p>")
+    # header span: 1 line; merged paragraph span: 2 lines
+    assert [(ls.line_order,) for ls in r.line_spans] == [(0,), (0,), (1,)]
+    para = r.spans[1]
+    para_lines = [ls for ls in r.line_spans
+                  if ls.parent_span_id == para.span_id]
+    assert [r.text[ls.char_start:ls.char_end] for ls in para_lines] == [
+        "first para text", "second para text"]
+    # lines tile their parent span exactly (one \n between lines)
+    assert para_lines[0].char_start == para.char_start
+    assert para_lines[-1].char_end == para.char_end
+
+
+def test_line_spans_invariants_and_config_off():
+    for i in range(40):
+        row = render_page(i, giant_every=20, giant_repeat=50)
+        fn = extract_pdf if is_pdf(row["html"]) else extract_html
+        r = fn(row["url"], row["html"])
+        by_span = {s.span_id: s for s in r.spans}
+        seen_parent_orders: dict[str, int] = {}
+        for ls in r.line_spans:
+            parent = by_span[ls.parent_span_id]
+            assert parent.char_start <= ls.char_start < ls.char_end \
+                <= parent.char_end
+            assert ls.line_order == seen_parent_orders.get(
+                ls.parent_span_id, -1) + 1
+            seen_parent_orders[ls.parent_span_id] = ls.line_order
+    cfg = ExtractConfig(emit_line_spans=False)
+    assert _run(b"<p>some text here</p>", cfg=cfg).line_spans == ()

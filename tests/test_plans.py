@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions (PLANS.md) — a plan regression should
+fail here, not on a cluster. Each test pins a property that matters at
+100 TB: column pruning, pushdown, shuffle count, broadcast choice,
+zero-shuffle signatures."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from webextract.fixtures import pages_from_documents
+from webextract.functions.dedup import with_minhash
+from webextract.functions.similarity import knn_bruteforce
+from webextract.pipeline import PipelineOptions, extract_dataframe, plan_todo
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_extraction_scan_prunes_to_url_html(spark, tmp_path):
+    from webextract.fixtures import pages_dataframe
+    from webextract.schema import PAGES_SCHEMA
+
+    path = str(tmp_path / "pages")
+    pages_dataframe(spark, 50, num_partitions=2, giant_every=0) \
+        .write.parquet(path)
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    plan = plan_of(extract_dataframe(pages, opts=PipelineOptions(num_partitions=2)))
+    # the scan must read ONLY url+html — warc_ts/text/lang never cross
+    assert "ReadSchema: struct<url:string,html:binary>" in plan
+    assert "MapInArrow" in plan
+    # exactly the two designed exchanges (salted hash + giant round-robin),
+    # counted in the numbered-node detail section
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and ") Exchange" in line)
+    assert n_exchanges == 2, plan
+
+
+def test_minhash_is_shuffle_free_single_fold(docs):
+    plan = plan_of(with_minhash(docs))
+    assert "Exchange" not in plan
+    assert plan.count("aggregate(") == 1  # the fold is not duplicated
+
+
+def test_knn_pushes_probe_filter_and_broadcasts(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=3))
+    assert "LessThan(vec_id,10)" in plan  # pushed to the parquet scan
+    assert "BroadcastNestedLoopJoin" in plan
+    # corpus side must NOT shuffle before scoring
+    score_section = plan.split("Window")[0]
+    assert "Exchange hashpartitioning" not in score_section
+
+
+def test_resume_anti_join_shape(spark):
+    pages = pages_from_documents(spark, SF)
+    done = pages.limit(10).select("url")
+    plan = plan_of(plan_todo(pages, done))
+    assert "LeftAnti" in plan
+
+
+def test_metrics_two_phase_aggregation(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    plan = plan_of(agg)
+    # partial + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "ReadSchema: struct<event_type:string>" in plan

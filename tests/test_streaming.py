@@ -1,0 +1,84 @@
+"""Streaming ingest tests: exactly-once extraction, checkpoint resume,
+and batch/stream output equality (SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webextract.fixtures import gen_pages
+from webextract.pipeline import PipelineOptions, extract_dataframe, ship_package
+from webextract.schema import PAGES_SCHEMA
+from webextract.streaming import stream_extraction, stream_span_rates
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """Three parquet 'crawl drops' in one streaming input dir."""
+    ship_package(spark)
+    base = tmp_path_factory.mktemp("stream_in")
+    chunks = [gen_pages(30, giant_every=0),
+              [r for r in gen_pages(60, giant_every=0)][30:],
+              [r for r in gen_pages(80, giant_every=0)][60:]]
+    paths = []
+    for i, chunk in enumerate(chunks):
+        p = str(base / f"drop_{i}.parquet")
+        spark.createDataFrame(chunk, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return str(base), paths
+
+
+def test_stream_matches_batch_and_resumes(spark, staged, tmp_path):
+    base, paths = staged
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    # glob over the first two drops only (third arrives "later")
+    q = stream_extraction(spark, f"{base}/drop_[01].parquet", out, cp)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.select("url").distinct().count() == 60
+
+    # restart with the third drop visible: only new files are processed
+    q2 = stream_extraction(spark, f"{base}/drop_*.parquet", out, cp)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.select("url").distinct().count() == 80  # exactly-once
+
+    # stream output == batch output, url for url
+    batch = extract_dataframe(
+        spark.read.schema(PAGES_SCHEMA).parquet(f"{base}/drop_*.parquet"),
+        opts=PipelineOptions(num_partitions=4))
+    diff = (
+        got.select("url", "extracted_text", "n_spans")
+        .exceptAll(batch.select("url", "extracted_text", "n_spans"))
+    )
+    assert diff.count() == 0
+
+
+def test_stream_span_rates_windowed(spark, staged, tmp_path):
+    base, _ = staged
+    agg = stream_span_rates(spark, f"{base}/drop_*.parquet",
+                            str(tmp_path / "cp2"))
+    q = (agg.writeStream.format("memory").queryName("rates")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rates").collect()
+    assert sum(r["n_docs"] for r in rows) == 80
+    kinds = {r["content_kind"] for r in rows}
+    assert "html" in kinds and "pdf" in kinds
+    for r in rows:
+        assert r["window_start"] is not None
+
+
+def test_span_rates_does_not_mutate_global_schema(spark, staged, tmp_path):
+    from webextract.schema import EXTRACTED_SCHEMA
+
+    names_before = [f.name for f in EXTRACTED_SCHEMA.fields]
+    base, _ = staged
+    stream_span_rates(spark, f"{base}/drop_0.parquet", str(tmp_path / "cp3"))
+    assert [f.name for f in EXTRACTED_SCHEMA.fields] == names_before
+    assert "warc_ts" not in names_before

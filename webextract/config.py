@@ -123,7 +123,7 @@ class ExtractConfig:
     merge_adjacent_spans: bool = True   # P4 connected-components analog
     max_html_bytes: int = 64 * 1024 * 1024  # T1/T2 resize analog: byte cap
     drop_marginalia: bool = False       # if True, marginalia -> background
-    emit_line_spans: bool = False       # P7/P8 text-line sub-spans (v2)
+    emit_line_spans: bool = True        # P7/P8 text-line sub-spans
 
     def __post_init__(self) -> None:
         # merge-alias validation: unknown classes and alias loops are

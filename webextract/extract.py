@@ -35,6 +35,14 @@ _SPAN_TYPE = pa.list_(pa.struct([
     ("confidence", pa.float64()),
 ]))
 
+_LINE_SPAN_TYPE = pa.list_(pa.struct([
+    ("line_id", pa.string()),
+    ("parent_span_id", pa.string()),
+    ("char_start", pa.int64()),
+    ("char_end", pa.int64()),
+    ("line_order", pa.int32()),
+]))
+
 
 def extract_record(url: str, payload: bytes | None,
                    cfg: ExtractConfig = DEFAULT_CONFIG) -> dict[str, Any]:
@@ -70,6 +78,16 @@ def extract_record(url: str, payload: bytes | None,
         }
         for s in result.spans
     ]
+    line_spans = [
+        {
+            "line_id": ls.line_id,
+            "parent_span_id": ls.parent_span_id,
+            "char_start": ls.char_start,
+            "char_end": ls.char_end,
+            "line_order": ls.line_order,
+        }
+        for ls in result.line_spans
+    ]
     mean_conf = (
         round(sum(s.confidence for s in result.spans) / len(result.spans), 6)
         if result.spans else None
@@ -78,6 +96,7 @@ def extract_record(url: str, payload: bytes | None,
         "url": url,
         "extracted_text": result.text,
         "spans": spans,
+        "line_spans": line_spans,
         "n_spans": len(spans),
         "mean_confidence": mean_conf,
         "content_kind": kind,
@@ -94,6 +113,8 @@ def _rows_to_batch(rows: list[dict], pid: int, run_id: str) -> pa.RecordBatch:
         "extracted_text": pa.array(
             [r["extracted_text"] for r in rows], pa.string()),
         "spans": pa.array([r["spans"] for r in rows], _SPAN_TYPE),
+        "line_spans": pa.array(
+            [r["line_spans"] for r in rows], _LINE_SPAN_TYPE),
         "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
         "mean_confidence": pa.array(
             [r["mean_confidence"] for r in rows], pa.float64()),
@@ -107,14 +128,17 @@ def _rows_to_batch(rows: list[dict], pid: int, run_id: str) -> pa.RecordBatch:
     })
 
 
-def make_extract_batches(cfg: ExtractConfig, run_id: str):
+def make_extract_batches(cfg: ExtractConfig, run_id: str,
+                         passthrough: tuple[str, ...] = ()):
     """Build the ``mapInArrow`` function: Iterator[RecordBatch] →
     Iterator[RecordBatch].
 
     The closure carries only the frozen config + run id (the broadcast-
     variable analog of the reference's checkpoint load, S12). Requires
     columns ``url`` and ``html`` in the input batches; emits
-    ``EXTRACTED_SCHEMA`` rows.
+    ``EXTRACTED_SCHEMA`` rows. ``passthrough`` columns are copied from the
+    input batch to the output 1:1 (zero-copy Arrow column reuse) — used by
+    the streaming path to keep ``warc_ts`` without a stream-stream join.
     """
 
     def extract_batches(
@@ -129,6 +153,9 @@ def make_extract_batches(cfg: ExtractConfig, run_id: str):
             payloads = batch.column("html").to_pylist()
             rows = [extract_record(u, p, cfg)
                     for u, p in zip(urls, payloads)]
-            yield _rows_to_batch(rows, pid, run_id)
+            out = _rows_to_batch(rows, pid, run_id)
+            for name in passthrough:
+                out = out.append_column(name, batch.column(name))
+            yield out
 
     return extract_batches

@@ -388,9 +388,25 @@ class Span:
 
 
 @dataclass(frozen=True)
+class LineSpan:
+    """Text-line sub-span — the P7/P8 analog: the reference traces
+    per-component baselines (``baseline_extractor.py:97-126``) and nests
+    TextLines under their region (``output_page_xml.py:266-288``); here a
+    line is a block boundary inside a merged span, nested via
+    ``parent_span_id``."""
+
+    line_id: str
+    parent_span_id: str
+    char_start: int
+    char_end: int
+    line_order: int
+
+
+@dataclass(frozen=True)
 class ExtractResult:
     text: str
     spans: tuple[Span, ...]
+    line_spans: tuple[LineSpan, ...] = ()
 
 
 def assemble_spans(url: str, kept: list[tuple[str, float, str]],
@@ -411,6 +427,7 @@ def assemble_spans(url: str, kept: list[tuple[str, float, str]],
 
     parts: list[str] = []
     spans: list[Span] = []
+    line_spans: list[LineSpan] = []
     offset = 0
     for order, (cls, confs, texts) in enumerate(runs):
         chunk = "\n".join(texts)
@@ -419,9 +436,10 @@ def assemble_spans(url: str, kept: list[tuple[str, float, str]],
         # mean confidence over merged blocks (P3 analog,
         # output_page_xml.py:245)
         conf = round(sum(confs) / len(confs), 6)
+        sid = span_id_for(url, cls, start)
         spans.append(
             Span(
-                span_id=span_id_for(url, cls, start),
+                span_id=sid,
                 region_class=cls,
                 region_type=REGION_TYPES[cls],
                 char_start=start,
@@ -430,10 +448,25 @@ def assemble_spans(url: str, kept: list[tuple[str, float, str]],
                 confidence=conf,
             )
         )
+        if cfg.emit_line_spans:
+            # P7/P8 analog: each merged block is one text line of the span
+            line_off = start
+            for i, text in enumerate(texts):
+                line_spans.append(
+                    LineSpan(
+                        line_id=span_id_for(url, f"line:{cls}", line_off),
+                        parent_span_id=sid,
+                        char_start=line_off,
+                        char_end=line_off + len(text),
+                        line_order=i,
+                    )
+                )
+                line_off += len(text) + 1
         parts.append(chunk)
         offset = end + 1  # +1 for the joining "\n"
 
-    return ExtractResult(text="\n".join(parts), spans=tuple(spans))
+    return ExtractResult(text="\n".join(parts), spans=tuple(spans),
+                         line_spans=tuple(line_spans))
 
 
 def extract_html(url: str, payload: bytes,

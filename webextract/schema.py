@@ -41,11 +41,21 @@ SPAN_STRUCT = StructType([
     StructField("confidence", DoubleType(), False),
 ])
 
+# text-line sub-spans (P7/P8 analog: baselines nested under regions)
+LINE_SPAN_STRUCT = StructType([
+    StructField("line_id", StringType(), False),
+    StructField("parent_span_id", StringType(), False),
+    StructField("char_start", LongType(), False),
+    StructField("char_end", LongType(), False),
+    StructField("line_order", IntegerType(), False),
+])
+
 # output table — extracted text + typed layout spans per url
 EXTRACTED_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("extracted_text", StringType(), True),
     StructField("spans", ArrayType(SPAN_STRUCT, False), True),
+    StructField("line_spans", ArrayType(LINE_SPAN_STRUCT, False), True),
     StructField("n_spans", IntegerType(), True),
     StructField("mean_confidence", DoubleType(), True),
     StructField("content_kind", StringType(), True),   # html | pdf | empty

@@ -1,0 +1,108 @@
+"""Structured Streaming ingest — the recast of the reference's serving
+path (Flask ``POST /predict`` → queue → single GPU worker,
+``api/flask_app.py:452-523``, SURVEY.md §3.3).
+
+The queue/ledger/status machine of the reference maps onto streaming
+primitives Spark already guarantees:
+
+- bounded ingest queue (``LAYPA_MAX_QUEUE_SIZE`` 429s,
+  ``flask_app.py:499-503``)    → ``maxFilesPerTrigger`` backpressure
+- ledger status machine + dedupe of in-flight work
+  (``flask_app.py:166-284``)   → the streaming checkpoint (exactly-once
+  file-sink semantics; a restarted query never re-emits a processed file)
+- Prometheus counters (``flask_app.py:120-130``) → the same per-row
+  ``parse_us``/``n_bytes_in`` columns as the batch path, plus
+  :func:`stream_span_rates`' watermarked windowed aggregates
+
+The extraction logic is byte-identical to the batch path — the same
+``make_extract_batches`` closure over the same frozen config — so a url
+processed via streaming equals the same url processed via batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .config import DEFAULT_CONFIG, ExtractConfig
+from .extract import make_extract_batches
+from .schema import EXTRACTED_SCHEMA, PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    # ignoreCorruptFiles: a malformed crawl drop must be skipped, not kill
+    # the query — the streaming form of the reference's skip-on-corrupt
+    # contract (inference.py:344-346)
+    reader = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("ignoreCorruptFiles", "true"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def stream_extraction(spark: SparkSession, input_path: str,
+                      output_path: str, checkpoint_path: str,
+                      cfg: ExtractConfig = DEFAULT_CONFIG,
+                      run_id: str = "stream",
+                      available_now: bool = True,
+                      max_files_per_trigger: int | None = None) -> StreamingQuery:
+    """Continuous extraction: new pages files → extracted parquet.
+
+    Exactly-once per input file via the checkpoint; restarting the query
+    after a stop resumes where it left off (the streaming counterpart of
+    the batch anti-join resume). No repartition inside the stream — file
+    micro-batches already bound per-task bytes, and a blocking shuffle
+    would only add latency per micro-batch.
+    """
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
+    extracted = pages.select("url", "html").mapInArrow(
+        make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_span_rates(spark: SparkSession, input_path: str,
+                      checkpoint_path: str,
+                      cfg: ExtractConfig = DEFAULT_CONFIG,
+                      window: str = "1 hour",
+                      watermark: str = "2 hours"):
+    """Watermarked windowed throughput metrics over the crawl timestamp.
+
+    Late pages (warc_ts older than the watermark) are dropped from the
+    aggregate instead of blocking state forever — the streaming analog of
+    the reference's bounded queue. Returns the aggregated streaming
+    DataFrame (caller attaches a sink); used with ``availableNow`` in
+    tests via a memory sink.
+    """
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    pages = read_pages_stream(spark, input_path)
+    slim = pages.select("url", "html", "warc_ts")
+    # warc_ts rides through the Arrow stage 1:1 — a stream-stream join
+    # back onto the source would need append mode + watermarks on both
+    # sides; the passthrough is free (zero-copy column reuse).
+    # NB: build a NEW StructType — StructType.add mutates in place and
+    # would corrupt the shared EXTRACTED_SCHEMA for the whole process.
+    out_schema = StructType(
+        list(EXTRACTED_SCHEMA.fields)
+        + [StructField("warc_ts", TimestampType(), True)])
+    extracted = slim.mapInArrow(
+        make_extract_batches(cfg, "rates", passthrough=("warc_ts",)),
+        out_schema)
+    return (
+        extracted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "content_kind")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_spans").alias("n_spans"),
+             F.sum("n_bytes_in").alias("n_bytes_in"))
+        .select(F.col("w.start").alias("window_start"), "content_kind",
+                "n_docs", "n_spans", "n_bytes_in")
+    )
