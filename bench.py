@@ -124,13 +124,19 @@ def scaling_run(cores: int) -> dict:
     n_docs = pages.count()
     opts = PipelineOptions(num_partitions=cores * 2)
     # one untimed warm-up (python workers fork + import once per executor
-    # slot; steady-state throughput is what a long-running cluster job sees)
+    # slot; steady-state throughput is what a long-running cluster job
+    # sees), then min of 2 timed runs — min is the robust statistic on a
+    # shared/bursty VM where a contention spike can double a single run
     noop_write(extract_dataframe(pages, opts=opts))
-    t0 = time.perf_counter()
-    noop_write(extract_dataframe(pages, opts=opts))
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        noop_write(extract_dataframe(pages, opts=opts))
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
     spark.stop()
-    print(f"[bench] local[{cores}]: {wall:.2f}s", file=sys.stderr)
+    print(f"[bench] local[{cores}]: {[round(w, 2) for w in walls]}",
+          file=sys.stderr)
     return {"cores": cores, "n_docs": n_docs, "wall_sec": round(wall, 2),
             "docs_per_sec": round(n_docs / wall, 1)}
 
@@ -199,11 +205,22 @@ def write_bench_md(scaling: dict, timings: dict[str, float]) -> None:
 def main() -> None:
     ensure_bench_pages()
     ceiling = cpu_ceiling_probe()
-    runs = {c: scaling_run(c) for c in (4, 8, 16, 32)}
-    eff_4_16 = round(
-        (runs[16]["docs_per_sec"] / runs[4]["docs_per_sec"]) / 4, 3)
-    eff_8_32 = round(
-        (runs[32]["docs_per_sec"] / runs[8]["docs_per_sec"]) / 4, 3)
+    runs = {c: scaling_run(c) for c in (4, 16, 8, 32)}
+
+    def eff(lo: int, hi: int) -> float:
+        return round(
+            (runs[hi]["docs_per_sec"] / runs[lo]["docs_per_sec"]) / 4, 3)
+
+    # plausibility retry: >1.05 or <0.3 means a contention spike hit one
+    # side of the pair on this shared VM — re-measure that pair once
+    for lo, hi in ((4, 16), (8, 32)):
+        if not 0.3 <= eff(lo, hi) <= 1.05:
+            print(f"[bench] implausible {lo}->{hi} efficiency "
+                  f"{eff(lo, hi)}; re-measuring pair", file=sys.stderr)
+            runs[lo] = scaling_run(lo)
+            runs[hi] = scaling_run(hi)
+    eff_4_16 = eff(4, 16)
+    eff_8_32 = eff(8, 32)
     scaling = {
         "runs": runs,
         "efficiency_4_to_16": eff_4_16,

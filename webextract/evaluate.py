@@ -60,13 +60,18 @@ def summary_metrics(per_class: DataFrame) -> DataFrame:
     )
 
 
-def span_agreement(extracted: DataFrame, expected: DataFrame) -> DataFrame:
+def span_agreement(extracted: DataFrame, expected: DataFrame,
+                   boundary_tolerance: int = 0) -> DataFrame:
     """Predicted vs golden spans → per-url match stats.
 
-    Both inputs carry (url, spans). Deterministic span ids make this an
-    exact set comparison: a span matches iff (span_id, char bounds,
-    class) all agree — the span-level recast of the reference's
-    IOUEvaluator XML comparison.
+    Both inputs carry (url, spans). With ``boundary_tolerance=0``,
+    deterministic span ids make this an exact set comparison: a span
+    matches iff (span_id, char bounds, class) all agree — the span-level
+    recast of the reference's IOUEvaluator XML comparison
+    (``tooling/xml_comparison.py:45-80``). With ``boundary_tolerance=k``
+    a span matches when the class agrees and both char bounds are within
+    ±k — the off-by-k analog of the reference's boundary-IoU metric
+    (``evaluation/sem_seg_evaluation.py:214-225``, mask-erode tolerance).
     """
     def flat(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
@@ -81,13 +86,21 @@ def span_agreement(extracted: DataFrame, expected: DataFrame) -> DataFrame:
 
     pred = flat(extracted, "p")
     gold = flat(expected, "g")
-    matched = pred.join(
-        gold,
-        (pred.url == gold.url) & (pred.p_id == gold.g_id)
-        & (pred.p_start == gold.g_start) & (pred.p_end == gold.g_end)
-        & (pred.p_class == gold.g_class),
-        "inner",
-    ).groupBy(pred.url.alias("url")).agg(F.count("*").alias("n_matched"))
+    if boundary_tolerance <= 0:
+        cond = (
+            (pred.url == gold.url) & (pred.p_id == gold.g_id)
+            & (pred.p_start == gold.g_start) & (pred.p_end == gold.g_end)
+            & (pred.p_class == gold.g_class)
+        )
+    else:
+        k = boundary_tolerance
+        cond = (
+            (pred.url == gold.url) & (pred.p_class == gold.g_class)
+            & (F.abs(pred.p_start - gold.g_start) <= k)
+            & (F.abs(pred.p_end - gold.g_end) <= k)
+        )
+    matched = pred.join(gold, cond, "inner") \
+        .groupBy(pred.url.alias("url")).agg(F.count("*").alias("n_matched"))
     n_pred = pred.groupBy("url").agg(F.count("*").alias("n_pred"))
     n_gold = gold.groupBy("url").agg(F.count("*").alias("n_gold"))
     return (

@@ -46,15 +46,24 @@ def ship_package(spark: SparkSession) -> str:
     """Ship ``webextract`` to executors (the programmatic equivalent of
     ``spark-submit --py-files webextract.zip``, which is how production
     runs deploy per the north rule). Idempotent; returns the zip path."""
+    import hashlib
     import tempfile
     import zipfile
     from pathlib import Path
 
     pkg_dir = Path(__file__).resolve().parent
-    zip_path = Path(tempfile.gettempdir()) / "webextract_pyfiles.zip"
+    sources = sorted(pkg_dir.rglob("*.py"))
+    digest = hashlib.sha256()
+    for py in sources:
+        digest.update(str(py.relative_to(pkg_dir)).encode())
+        digest.update(py.read_bytes())
+    # content-addressed: a stale zip from an older code version can never
+    # be shipped after an edit
+    zip_path = (Path(tempfile.gettempdir())
+                / f"webextract_pyfiles_{digest.hexdigest()[:16]}.zip")
     if not zip_path.exists():
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
+            for py in sources:
                 zf.write(py, f"webextract/{py.relative_to(pkg_dir)}")
     spark.sparkContext.addPyFile(str(zip_path))
     return str(zip_path)
