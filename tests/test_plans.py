@@ -31,6 +31,12 @@ def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
 
 
+def _count_nodes(plan: str, node: str) -> int:
+    return sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and f") {node}" in line)
+
+
 def test_extraction_scan_prunes_to_url_html(spark, tmp_path):
     from webextract.fixtures import pages_dataframe
     from webextract.schema import PAGES_SCHEMA
@@ -39,16 +45,20 @@ def test_extraction_scan_prunes_to_url_html(spark, tmp_path):
     pages_dataframe(spark, 50, num_partitions=2, giant_every=0) \
         .write.parquet(path)
     pages = spark.read.schema(PAGES_SCHEMA).parquet(path)
+
+    # default single-pass mode: ONE scan, ONE exchange
     plan = plan_of(extract_dataframe(pages, opts=PipelineOptions(num_partitions=2)))
     # the scan must read ONLY url+html — warc_ts/text/lang never cross
     assert "ReadSchema: struct<url:string,html:binary>" in plan
     assert "MapInArrow" in plan
-    # exactly the two designed exchanges (salted hash + giant round-robin),
-    # counted in the numbered-node detail section
-    n_exchanges = sum(
-        1 for line in plan.splitlines()
-        if line.strip().startswith("(") and ") Exchange" in line)
-    assert n_exchanges == 2, plan
+    assert _count_nodes(plan, "Exchange") == 1, plan
+    assert _count_nodes(plan, "Scan parquet") == 1, plan
+
+    # dual mode: two scans, two exchanges (salted hash + giant round-robin)
+    plan2 = plan_of(extract_dataframe(
+        pages, opts=PipelineOptions(num_partitions=2, scan_mode="dual")))
+    assert _count_nodes(plan2, "Exchange") == 2, plan2
+    assert _count_nodes(plan2, "Scan parquet") == 2, plan2
 
 
 def test_minhash_is_shuffle_free_single_fold(docs):

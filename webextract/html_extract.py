@@ -272,13 +272,16 @@ def tokenize_blocks_stdlib(html_text: str) -> list[Block]:
 # str.find. ~6-10x faster than html.parser on large pages while emitting the
 # same tag-event stream into _BlockBuilder (equivalence asserted by tests
 # over the whole fixture sweep + hypothesis byte soup).
+# alternation ordered by frequency: start/end tags dominate real pages;
+# '<!'/'<?' branches cannot be shadowed because the tag branches require a
+# letter (or '/') after '<'
 _TAG_RE = re.compile(
-    r"""<!--.*?(?:-->|$)                 # comment (unterminated: to EOF)
+    r"""<([a-zA-Z][a-zA-Z0-9:_-]*)((?:"[^"]*"|'[^']*'|[^"'>])*)(?:>|$)  # start
+      | </\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*(?:>|$)          # end tag
+      | <!--.*?(?:-->|$)                 # comment (unterminated: to EOF)
       | <!\[CDATA\[.*?(?:\]\]>|$)        # CDATA section
       | <![^>]*>?                        # doctype / declaration
       | <\?[^>]*>?                       # processing instruction
-      | </\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*(?:>|$)          # end tag
-      | <([a-zA-Z][a-zA-Z0-9:_-]*)((?:"[^"]*"|'[^']*'|[^"'>])*)(?:>|$)  # start
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -305,7 +308,7 @@ def tokenize_blocks(html_text: str) -> list[Block]:
             pos = lt + 1
             continue
         pos = m.end()
-        end_name, start_name, attrs = m.group(1), m.group(2), m.group(3)
+        start_name, attrs, end_name = m.group(1), m.group(2), m.group(3)
         if start_name is not None:
             tag = start_name.lower()
             b.start_tag(tag)
@@ -325,11 +328,12 @@ def tokenize_blocks(html_text: str) -> list[Block]:
     return b.blocks
 
 
+from html import unescape as _html_unescape  # noqa: E402 (hot-path import)
+
+
 def _unescape(data: str) -> str:
     if "&" in data:
-        import html as _html
-
-        return _html.unescape(data)
+        return _html_unescape(data)
     return data
 
 

@@ -88,6 +88,12 @@ class PipelineOptions:
     giant_bytes: int = 1 << 20       # blobs above this get their own routing
     salt_factor: int = 4             # salt buckets per target partition
     sink_format: str = "parquet"     # "parquet" | "iceberg"
+    # "single": one scan, giants hashed into a dedicated salt space
+    #           (default — at 100 TB a second scan of the html column is
+    #           the dominant extra cost)
+    # "dual":   two scans, giants spread round-robin (tightest giant tail;
+    #           right when giants are both huge and frequent)
+    scan_mode: str = "single"
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
@@ -137,23 +143,46 @@ def salted_repartition(df: DataFrame, opts: PipelineOptions) -> DataFrame:
     UDF-stage value skew — AQE only fixes shuffle-size skew).
 
     Normal pages: salted url-hash repartition — ``pmod(xxhash64(url),
-    n*salt_factor)`` spreads hot key ranges evenly. Giant blobs (> 1 MiB):
-    round-robin repartition so each lands alone rather than queueing behind
-    one unlucky partition (the reference's per-record ``imap_unordered``
-    has the same straggler-avoidance goal, ``data/preprocess.py:774-781``).
+    n*salt_factor)`` spreads hot key ranges evenly. Giant blobs
+    (> ``giant_bytes``) must not queue behind one unlucky partition (the
+    reference's per-record ``imap_unordered`` has the same
+    straggler-avoidance goal, ``data/preprocess.py:774-781``); two modes:
+
+    - ``single`` (default): ONE scan + ONE exchange — giants hash into a
+      dedicated fine-grained salt space (num_partitions extra buckets)
+      disjoint from the normal space. Expected giants per bucket ~
+      n_giants / num_partitions; the tail is a small constant factor of
+      one giant's parse time. At 100 TB the saved second scan of the
+      html column dominates that tail.
+    - ``dual``: two scans — giants split off and spread round-robin
+      (max one extra giant per slot). Tightest tail; pay the re-scan.
     """
     size = F.coalesce(F.octet_length(F.col("html")), F.lit(0))
-    giants = df.filter(size > opts.giant_bytes).repartition(opts.num_partitions)
-    normal = (
-        df.filter(size <= opts.giant_bytes)
-        .withColumn(
-            "_salt",
-            F.pmod(F.xxhash64("url"), F.lit(opts.num_partitions * opts.salt_factor)),
+    n_salts = opts.num_partitions * opts.salt_factor
+    if opts.scan_mode == "dual":
+        giants = df.filter(size > opts.giant_bytes) \
+            .repartition(opts.num_partitions)
+        normal = (
+            df.filter(size <= opts.giant_bytes)
+            .withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+            .repartition(opts.num_partitions, "_salt")
+            .drop("_salt")
         )
+        return normal.unionByName(giants)
+    # giant salt space is as fine-grained as the normal one (n_salts extra
+    # values, disjoint range): with only num_partitions giant salts, the
+    # salt->partition hash collides again and one partition can collect
+    # 3-4x its giant share (observed empirically); fine salts keep the max
+    # load near the balls-in-bins optimum
+    salt = F.when(
+        size > opts.giant_bytes,
+        F.lit(n_salts) + F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_salts)),
+    ).otherwise(F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+    return (
+        df.withColumn("_salt", salt)
         .repartition(opts.num_partitions, "_salt")
         .drop("_salt")
     )
-    return normal.unionByName(giants)
 
 
 def extract_dataframe(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
