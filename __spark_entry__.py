@@ -27,6 +27,7 @@ from webextract.functions.dedup import (
 )
 from webextract.functions.multimodal import media_features
 from webextract.functions.similarity import (
+    ivf_ann_topk,
     knn_bruteforce,
     lsh_ann_topk,
     near_duplicate_pairs,
@@ -290,6 +291,11 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
 def q_extract_fixture_pages(spark, sf_dir):
     ship_package(spark)
     n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
@@ -324,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "media_features": q_media_features,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "extract_fixture_pages": q_extract_fixture_pages,
     }
 
@@ -567,7 +574,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "media_features": _media_sql(),
-        # ann_lsh_topk / extract_fixture_pages: intentionally no oracle —
+        # ann_lsh_topk / ann_ivf_topk / extract_fixture_pages: no oracle —
         # approximate / fixture-input ops; validated in pytest instead
         # (ann vs brute-force recall, fixture goldens byte-identical).
     }

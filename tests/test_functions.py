@@ -187,3 +187,31 @@ def test_media_real_backend_is_stubbed(spark):
     df = spark.createDataFrame([Row(media_id=1, payload=b"x", kind="image")])
     out = media_features(df, backend="real").collect()[0]
     assert "NotImplementedError" in out["error"]
+
+
+def test_ivf_ann_recall_and_exact_scores(spark):
+    from webextract.functions.similarity import ivf_ann_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+         for i in range(200)])
+    probes = df.filter(F.col("vec_id") < 10)
+    approx = ivf_ann_topk(df, probes, k=3, n_centroids=8, n_probe=3)
+    rows = approx.collect()
+    assert len(rows) == 30  # 10 probes x k=3 (candidate sets are ample)
+    exact_all = {(r["probe_id"], r["neighbor_id"]): r["cos_sim"]
+                 for r in knn_bruteforce(df, probes, k=200).collect()}
+    top3 = {}
+    for (p, n), c in exact_all.items():
+        top3.setdefault(p, []).append((c, n))
+    hits = 0
+    for r in rows:
+        # every IVF hit carries the EXACT cosine score
+        assert exact_all[(r["probe_id"], r["neighbor_id"])] == r["cos_sim"]
+        true_top = {n for _, n in
+                    sorted(top3[r["probe_id"]], key=lambda t: (-t[0], t[1]))[:3]}
+        hits += r["neighbor_id"] in true_top
+    recall = hits / 30
+    assert recall >= 0.3, recall  # 3/8 clusters searched on random data

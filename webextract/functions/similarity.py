@@ -137,6 +137,75 @@ def with_lsh_bucket(embeddings: DataFrame, n_planes: int = 8,
     return embeddings.withColumn("lsh_bucket", bucket)
 
 
+def ivf_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus,
+    search only the ``n_probe`` clusters nearest each probe.
+
+    The classic IVF trade: one small KMeans fit (sampled at scale), one
+    equi-join on cluster id instead of a cross join — candidates shrink by
+    ~n_centroids/n_probe. Scores are exact cosine on the candidate set,
+    same rounding/tie rules as the brute-force baseline, so IVF results
+    are a subset of the exact ranking.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.withColumn("_fv", array_to_vector(
+        _as_double(F.col(vec_col))))
+    model = KMeans(k=n_centroids, seed=42, featuresCol="_fv",
+                   predictionCol="_cluster").fit(base)
+    corpus = _prepared(
+        model.transform(base).select(id_col, vec_col, "_cluster"),
+        id_col, vec_col,
+    ).join(model.transform(base).select(id_col, "_cluster"), id_col)
+
+    # probe -> n_probe nearest centroids, computed as column expressions
+    # over the (tiny, literal) centroid list — no second ML pass
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    p = _prepared(probes, id_col, vec_col)
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("_v"),
+                           F.array(*[F.lit(x) for x in center]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ).alias("d"),
+            F.lit(j).alias("c"),
+        )
+        for j, center in enumerate(centers)
+    ])
+    p = (
+        p.withColumn("_near", F.slice(F.array_sort(dists), 1, n_probe))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col("_v").alias("_pv"), F.col("_nsq").alias("_pnsq"),
+            F.explode(F.col("_near.c")).alias("_cluster"),
+        )
+    )
+    scored = (
+        corpus.join(p, "_cluster")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id", F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("_pv"), F.col("_v"),
+                   F.col("_pnsq"), F.col("_nsq")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def lsh_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
                  n_planes: int = 8, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

@@ -96,13 +96,16 @@ class PipelineOptions:
     scan_mode: str = "single"
 
 
-def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Scan the pages table (S1). With an Iceberg catalog configured this
-    would be ``spark.read.table(...)``; the sandbox uses parquet, which
-    keeps the same columnar/pushdown properties."""
-    if path.endswith(".parquet") or "/" in path:
-        return spark.read.schema(PAGES_SCHEMA).parquet(path)
-    return spark.read.table(path)
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Scan the pages table (S1): a registered catalog table (Iceberg in
+    production — same columnar/pushdown properties) if the name resolves,
+    else a parquet path."""
+    try:
+        if spark.catalog.tableExists(source):
+            return spark.read.table(source)
+    except Exception:
+        pass  # not a valid table identifier (e.g. a filesystem path)
+    return spark.read.schema(PAGES_SCHEMA).parquet(source)
 
 
 def completed_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
