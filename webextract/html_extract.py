@@ -111,9 +111,11 @@ def _normalize_ws(raw: str) -> str:
 
     The char-offset discipline (FIXTURES.md §2, reference analog: coordinate
     rescale ``xml_converter.py:109-124``): offsets index into the *emitted*
-    normalized text, never the raw HTML.
+    normalized text, never the raw HTML. ``" ".join(split())`` is the
+    C-level, unicode-whitespace-aware equivalent of
+    ``re.sub(r"\\s+", " ", raw).strip()`` and ~3x faster.
     """
-    return _WS_NORM.sub(" ", raw).strip()
+    return " ".join(raw.split())
 
 
 @dataclass
@@ -380,6 +382,24 @@ def span_id_for(url: str, region_class: str, char_start: int) -> str:
     return hashlib.sha256(key.encode("utf-8")).hexdigest()
 
 
+def _span_id_factory(url: str):
+    """Per-document id maker producing the same digests as
+    :func:`span_id_for` but hashing the ``url|class|`` prefix only once
+    per class (hasher ``copy()`` per offset)."""
+    cache: dict[str, "hashlib._Hash"] = {}
+
+    def make(region_class: str, char_start: int) -> str:
+        h = cache.get(region_class)
+        if h is None:
+            h = hashlib.sha256(f"{url}|{region_class}|".encode("utf-8"))
+            cache[region_class] = h
+        hh = h.copy()
+        hh.update(str(char_start).encode("utf-8"))
+        return hh.hexdigest()
+
+    return make
+
+
 @dataclass(frozen=True)
 class Span:
     span_id: str
@@ -433,6 +453,7 @@ def assemble_spans(url: str, kept: list[tuple[str, float, str]],
     spans: list[Span] = []
     line_spans: list[LineSpan] = []
     offset = 0
+    make_id = _span_id_factory(url)
     for order, (cls, confs, texts) in enumerate(runs):
         chunk = "\n".join(texts)
         start = offset
@@ -440,7 +461,7 @@ def assemble_spans(url: str, kept: list[tuple[str, float, str]],
         # mean confidence over merged blocks (P3 analog,
         # output_page_xml.py:245)
         conf = round(sum(confs) / len(confs), 6)
-        sid = span_id_for(url, cls, start)
+        sid = make_id(cls, start)
         spans.append(
             Span(
                 span_id=sid,
@@ -458,7 +479,7 @@ def assemble_spans(url: str, kept: list[tuple[str, float, str]],
             for i, text in enumerate(texts):
                 line_spans.append(
                     LineSpan(
-                        line_id=span_id_for(url, f"line:{cls}", line_off),
+                        line_id=make_id(f"line:{cls}", line_off),
                         parent_span_id=sid,
                         char_start=line_off,
                         char_end=line_off + len(text),

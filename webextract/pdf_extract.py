@@ -49,6 +49,8 @@ _ESC = {
 
 def _unescape_pdf_string(raw: bytes) -> str:
     """PDF literal-string unescape: \\(, \\), \\\\, \\n..., octal \\ddd."""
+    if b"\\" not in raw:  # fast path: nothing to unescape
+        return raw.decode("latin-1")
     out: list[str] = []
     i, n = 0, len(raw)
     while i < n:
