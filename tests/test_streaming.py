@@ -82,3 +82,43 @@ def test_span_rates_does_not_mutate_global_schema(spark, staged, tmp_path):
     stream_span_rates(spark, f"{base}/drop_0.parquet", str(tmp_path / "cp3"))
     assert [f.name for f in EXTRACTED_SCHEMA.fields] == names_before
     assert "warc_ts" not in names_before
+
+
+def test_stateful_first_seen_dedup_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: revisited urls are dropped across triggers
+    AND across query restarts (state lives in the checkpoint)."""
+    import datetime as dt
+    from webextract.streaming import stream_dedup_extraction
+
+    base = tmp_path / "in"
+    base.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(base / name))
+
+    t0 = dt.datetime(2024, 1, 1)
+    drop("d0.parquet", [
+        ("u://a", t0, b"<p>first crawl of a</p>", None, None),
+        ("u://b", t0, b"<p>first crawl of b</p>", None, None),
+        # same-batch revisit of a, later ts -> must lose to the first
+        ("u://a", t0 + dt.timedelta(hours=1), b"<p>revisit of a</p>", None, None),
+    ])
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = stream_dedup_extraction(spark, f"{base}/d0.parquet", out, cp)
+    q.awaitTermination(120)
+    got = {r["url"]: r["extracted_text"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {"u://a": "first crawl of a", "u://b": "first crawl of b"}
+
+    # second drop after a RESTART: a revisited again + one new url
+    drop("d1.parquet", [
+        ("u://a", t0 + dt.timedelta(days=1), b"<p>late revisit of a</p>", None, None),
+        ("u://c", t0, b"<p>first crawl of c</p>", None, None),
+    ])
+    q2 = stream_dedup_extraction(spark, f"{base}/d*.parquet", out, cp)
+    q2.awaitTermination(120)
+    got = {r["url"]: r["extracted_text"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {"u://a": "first crawl of a", "u://b": "first crawl of b",
+                   "u://c": "first crawl of c"}

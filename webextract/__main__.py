@@ -21,11 +21,36 @@ from .config import ExtractConfig
 from .pipeline import PipelineOptions, read_pages, run_extraction, ship_package
 
 
+def _load_raw_config(path: str, seen: tuple[str, ...] = ()) -> dict:
+    """JSON config with ``_base_`` inheritance — the analog of the
+    reference's ``_BASE_`` YAML chain (``configs/segmentation/
+    segmentation_base.yaml:1``, merged in ``core/setup.py:67-177``):
+    the base file loads first (relative to the child), the child's keys
+    override; dict-valued keys (merge_aliases) merge per-key."""
+    import os
+
+    real = os.path.realpath(path)
+    if real in seen:
+        raise SystemExit(f"_base_ cycle: {' -> '.join(seen + (real,))}")
+    with open(path, encoding="utf-8") as fh:
+        raw = json.load(fh)
+    base_ref = raw.pop("_base_", None)
+    if base_ref is None:
+        return raw
+    base_path = os.path.join(os.path.dirname(path), base_ref)
+    merged = _load_raw_config(base_path, seen + (real,))
+    for key, value in raw.items():
+        if isinstance(value, dict) and isinstance(merged.get(key), dict):
+            merged[key] = {**merged[key], **value}
+        else:
+            merged[key] = value
+    return merged
+
+
 def load_config(path: str | None) -> ExtractConfig:
     if not path:
         return ExtractConfig()
-    with open(path, encoding="utf-8") as fh:
-        raw = json.load(fh)
+    raw = _load_raw_config(path)
     known = set(ExtractConfig.__dataclass_fields__)
     unknown = set(raw) - known
     if unknown:  # closed schema, like CfgNode set_new_allowed(False)

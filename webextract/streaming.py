@@ -69,6 +69,76 @@ def stream_extraction(spark: SparkSession, input_path: str,
     return writer.start()
 
 
+def dedup_first_seen(pages_stream: DataFrame):
+    """Custom stateful operator: keep only the FIRST crawl of each url
+    across micro-batches (``applyInPandasWithState``).
+
+    Crawls revisit urls; the batch path dedupes with an anti-join against
+    committed output, but a *stream* needs cross-trigger state. Per-url
+    state is one boolean; the first arrival (earliest ``warc_ts`` within
+    the batch) passes through, every later revisit is dropped. State lives
+    in the streaming checkpoint, so a restarted query still remembers
+    every url it has ever passed. This is the engine's
+    ``applyInPandasWithState`` surface — the streaming analog of the
+    reference's ledger status machine (``api/flask_app.py:166-284``),
+    which tracks in-flight/done work to avoid duplicates.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = PAGES_SCHEMA
+    state_schema = "seen boolean"
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            # url already emitted in an earlier trigger: drop everything
+            for _ in pdfs:
+                pass
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("warc_ts", kind="stable")
+            head = pdf.iloc[[0]]
+            if first is None or (head["warc_ts"].iloc[0]
+                                 < first["warc_ts"].iloc[0]):
+                first = head
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return (
+        pages_stream.groupBy("url")
+        .applyInPandasWithState(
+            first_seen, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_dedup_extraction(spark: SparkSession, input_path: str,
+                            output_path: str, checkpoint_path: str,
+                            cfg: ExtractConfig = DEFAULT_CONFIG,
+                            run_id: str = "stream-dedup",
+                            available_now: bool = True) -> StreamingQuery:
+    """Streaming ingest with first-seen url dedup in front of extraction:
+    revisited urls never reach the (expensive) parse stage."""
+    pages = read_pages_stream(spark, input_path)
+    deduped = dedup_first_seen(pages)
+    extracted = deduped.select("url", "html").mapInArrow(
+        make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_span_rates(spark: SparkSession, input_path: str,
                       checkpoint_path: str,
                       cfg: ExtractConfig = DEFAULT_CONFIG,
