@@ -201,6 +201,23 @@ def extract_dataframe(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
     return routed.mapInArrow(make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
 
 
+def write_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64,
+                   bucket_col: str = "url") -> None:
+    """Persist a DataFrame bucketed by key for co-located downstream joins.
+
+    Bucketing pre-shuffles once at write time: any later equi-join or
+    aggregation on ``bucket_col`` between tables bucketed the same way
+    runs shuffle-free (SortMergeJoin with no Exchange). At 100 TB this is
+    the difference between re-shuffling the corpus per analysis query and
+    paying the shuffle once at ingest — the same trade Iceberg's
+    bucket-partition transform makes.
+    """
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, bucket_col)
+     .sortBy(bucket_col)
+     .saveAsTable(table_name))
+
+
 def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
                    metrics_path: str | None = None,
                    cfg: ExtractConfig = DEFAULT_CONFIG,
