@@ -144,3 +144,48 @@ def test_distributed_fixture_render(spark):
     local = gen_pages(30, giant_every=0)
     got = {r["url"]: bytes(r["html"]) for r in df.collect()}
     assert got == {r["url"]: r["html"] for r in local}
+
+
+def test_date_partitioned_sink_prunes(spark, pages, tmp_path):
+    out = str(tmp_path / "by_date")
+    s = run_extraction(spark, pages, out,
+                       opts=PipelineOptions(num_partitions=3),
+                       partition_by_date=True)
+    assert s["rows_written"] == N
+    import os
+    parts = [d for d in os.listdir(out) if d.startswith("warc_date=")]
+    assert len(parts) >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == N
+    # a date-ranged read must prune at plan time (PartitionFilters)
+    one_day = back.filter(F.col("warc_date") == "2024-01-01")
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "warc_date" in plan
+    # resume still keyed on url across partitions
+    s2 = run_extraction(spark, pages, out,
+                        opts=PipelineOptions(num_partitions=3),
+                        partition_by_date=True)
+    assert s2["rows_written"] == 0
+    assert spark.read.parquet(out).count() == N
+
+
+def test_layout_mismatch_rejected(spark, pages, tmp_path):
+    out = str(tmp_path / "dated2")
+    run_extraction(spark, pages.limit(10), out,
+                   opts=PipelineOptions(num_partitions=2),
+                   partition_by_date=True)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        run_extraction(spark, pages, out,
+                       opts=PipelineOptions(num_partitions=2),
+                       partition_by_date=False)
+    flat = str(tmp_path / "flat2")
+    run_extraction(spark, pages.limit(10), flat,
+                   opts=PipelineOptions(num_partitions=2))
+    with pytest.raises(ValueError, match="layout mismatch"):
+        run_extraction(spark, pages, flat,
+                       opts=PipelineOptions(num_partitions=2),
+                       partition_by_date=True)

@@ -73,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--scan-mode", choices=("single", "dual"),
                    default="single")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--partition-by-date", action="store_true",
+                   help="hive-partition the sink by warc_date (crawl day)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -86,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
     pages = read_pages(spark, args.input)
     summary = run_extraction(spark, pages, args.output,
                              metrics_path=args.metrics, cfg=cfg, opts=opts,
-                             run_id=args.run_id)
+                             run_id=args.run_id,
+                             partition_by_date=args.partition_by_date)
     print(json.dumps(summary))
     return 0
 

@@ -190,15 +190,24 @@ def salted_repartition(df: DataFrame, opts: PipelineOptions) -> DataFrame:
 
 def extract_dataframe(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
                       opts: PipelineOptions = PipelineOptions(),
-                      run_id: str | None = None) -> DataFrame:
+                      run_id: str | None = None,
+                      passthrough: tuple[str, ...] = ()) -> DataFrame:
     """pages → extracted (lazy; no sink). Column-prunes to (url, html)
     before the Arrow exchange so the Python workers never receive columns
     they don't read (the projection-pushdown analog of the reference's
-    early resize, ``inference.py:170``)."""
+    early resize, ``inference.py:170``). ``passthrough`` columns ride
+    through the Arrow stage zero-copy and are appended to the output
+    schema (e.g. ``warc_ts`` for date-partitioned sinks)."""
+    from pyspark.sql.types import StructType
+
     run_id = run_id or uuid.uuid4().hex[:16]
-    slim = pages.select("url", "html")
+    slim = pages.select("url", "html", *passthrough)
     routed = salted_repartition(slim, opts)
-    return routed.mapInArrow(make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
+    schema = StructType(
+        list(EXTRACTED_SCHEMA.fields)
+        + [slim.schema[name] for name in passthrough])
+    return routed.mapInArrow(
+        make_extract_batches(cfg, run_id, passthrough=passthrough), schema)
 
 
 def write_bucketed(df: DataFrame, table_name: str, n_buckets: int = 64,
@@ -222,17 +231,44 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
                    metrics_path: str | None = None,
                    cfg: ExtractConfig = DEFAULT_CONFIG,
                    opts: PipelineOptions = PipelineOptions(),
-                   run_id: str | None = None) -> dict:
+                   run_id: str | None = None,
+                   partition_by_date: bool = False) -> dict:
     """Full resumable run: anti-join → extract → append → metrics append.
+
+    ``partition_by_date=True`` lays the sink out hive-partitioned by
+    ``warc_date`` (crawl day): at 10^12 rows, time-ranged reads of the
+    output prune whole partitions at plan time instead of scanning the
+    table (the Iceberg day-transform partition analog).
 
     Returns a small summary dict (row counts), not data — nothing big ever
     lands on the driver.
     """
     run_id = run_id or uuid.uuid4().hex[:16]
     done = completed_urls(spark, output_path)
+    # layout guard: appending flat files into a date-partitioned sink (or
+    # vice versa) makes the new files INVISIBLE to partition discovery —
+    # silent data loss. Refuse the mismatch instead.
+    if done is not None:
+        existing = spark.read.parquet(output_path)
+        existing_dated = "warc_date" in existing.columns
+        if existing_dated != partition_by_date:
+            raise ValueError(
+                f"output layout mismatch at {output_path}: existing sink "
+                f"{'IS' if existing_dated else 'is NOT'} date-partitioned "
+                f"but partition_by_date={partition_by_date}; appending "
+                "across layouts silently hides the new files from reads")
     todo = plan_todo(pages, done)
-    extracted = extract_dataframe(todo, cfg, opts, run_id=run_id)
-    extracted.write.mode("append").parquet(output_path)
+    if partition_by_date:
+        extracted = (
+            extract_dataframe(todo, cfg, opts, run_id=run_id,
+                              passthrough=("warc_ts",))
+            .withColumn("warc_date", F.to_date("warc_ts"))
+        )
+        extracted.write.mode("append").partitionBy("warc_date") \
+            .parquet(output_path)
+    else:
+        extracted = extract_dataframe(todo, cfg, opts, run_id=run_id)
+        extracted.write.mode("append").parquet(output_path)
 
     # lineage/metrics from committed data only (column-pruned read-back)
     committed = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
