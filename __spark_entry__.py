@@ -21,6 +21,7 @@ from webextract.fixtures import pages_dataframe, pages_from_documents
 from webextract.functions.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
+    near_duplicate_docs,
     ngram_jaccard_pairs,
     simhash16,
     with_minhash,
@@ -178,6 +179,11 @@ def q_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), threshold=0.8)
 
 
+def q_near_dup_docs(spark, sf_dir):
+    # the composed at-scale pipeline: LSH prefilter -> exact Jaccard verify
+    return near_duplicate_docs(_dup_corpus(spark, sf_dir), threshold=0.8)
+
+
 def q_knn_cosine(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=3)
@@ -301,7 +307,8 @@ def q_extract_fixture_pages(spark, sf_dir):
     n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
         sf_dir.rstrip("/").rsplit("/", 1)[-1], 500)
     pages = pages_dataframe(spark, n, num_partitions=8,
-                            giant_every=500, giant_repeat=5000)
+                            giant_every=500, giant_repeat=5000,
+                            body_scale=10)
     return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8))
 
 
@@ -318,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "near_dup_docs": q_near_dup_docs,
         "knn_cosine": q_knn_cosine,
         "near_dup_embeddings": q_near_dup_embeddings,
         "lang_id": q_lang_id,
@@ -491,6 +499,37 @@ def oracle_sql() -> dict[str, str]:
             FROM common c
             JOIN sizes sa ON c.doc_a = sa.doc_id
             JOIN sizes sb ON c.doc_b = sb.doc_id
+            WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+        """,
+        "near_dup_docs": f"""
+            WITH corpus AS ({_CORPUS_SQL}), {_SHINGLE_SQL},
+            sig AS (SELECT doc_id, {_sql_minhash_select()} FROM s),
+            bands AS (
+              SELECT doc_id, md5('0' || '|' || CAST(mh0 AS VARCHAR) || '|'
+                                 || CAST(mh1 AS VARCHAR)) AS band_key
+              FROM sig WHERE mh0 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, md5('1' || '|' || CAST(mh2 AS VARCHAR) || '|'
+                                 || CAST(mh3 AS VARCHAR))
+              FROM sig WHERE mh0 IS NOT NULL),
+            cands AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bands x JOIN bands y
+                ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+            ds AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS sh FROM s),
+            sizes AS (SELECT id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+            common AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+              FROM cands c
+              JOIN ds a ON a.id = c.doc_a
+              JOIN ds b ON b.id = c.doc_b AND a.sh = b.sh
+              GROUP BY 1, 2)
+            SELECT c.doc_a, c.doc_b,
+                   ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+                     AS jaccard
+            FROM common c
+            JOIN sizes sa ON c.doc_a = sa.id
+            JOIN sizes sb ON c.doc_b = sb.id
             WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
         """,
         "knn_cosine": """

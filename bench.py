@@ -40,7 +40,8 @@ PAGES_PATH = (f"/tmp/webextract_bench/"
 
 HEADLINE = [
     "extract_text", "extract_spans", "dedup_exact", "minhash_signatures",
-    "lsh_candidates", "simhash", "jaccard_pairs", "knn_cosine",
+    "lsh_candidates", "simhash", "jaccard_pairs", "near_dup_docs",
+    "knn_cosine",
     "lang_id", "quality_scores", "token_counts_by_source",
     "events_confusion", "events_windowed", "media_features",
     "ann_lsh_topk",

@@ -215,3 +215,20 @@ def test_ivf_ann_recall_and_exact_scores(spark):
         hits += r["neighbor_id"] in true_top
     recall = hits / 30
     assert recall >= 0.3, recall  # 3/8 clusters searched on random data
+
+
+def test_near_duplicate_docs_composed(docs):
+    from webextract.functions.dedup import near_duplicate_docs
+
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in near_duplicate_docs(docs, threshold=0.5).collect()}
+    # exact-dup pair always survives (LSH always banding-collides) with
+    # the TRUE jaccard value
+    assert out[(1, 2)] == 1.0
+    # emitted scores equal the exact all-pairs computation (precision)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    for pair, j in out.items():
+        assert exact[pair] == j
+    # and candidates are a subset of the exact result's pairs
+    assert set(out) <= set(exact)

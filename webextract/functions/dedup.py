@@ -209,3 +209,48 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.8) -> DataFrame:
+    """The composed at-scale near-dup pipeline: MinHash → LSH banding →
+    exact Jaccard verification on the candidate pairs only.
+
+    This is how the quadratic :func:`ngram_jaccard_pairs` survives 10^12
+    docs: the shingle self-join runs against the LSH candidate set (~linear
+    in corpus size for web text) instead of all pairs. Pairs the banding
+    misses are excluded by design (approximate recall, exact precision:
+    every emitted jaccard is the true value).
+    """
+    cands = lsh_candidate_pairs(with_minhash(docs, id_col, text_col),
+                                id_col=id_col)
+    ds = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(norm_text(text_col))).alias("sh"))
+        .distinct()
+    )
+    sizes = ds.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = ds.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = ds.select(F.col("id").alias("_id_b"), F.col("sh").alias("sh_b"))
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_id_b"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col("id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
