@@ -289,27 +289,38 @@ def q_media_features(spark, sf_dir):
     return media_features(media, backend="fake")
 
 
-# -- rows-only (no SQL oracle): approximate / fixture-driven -----------------
+# the testdata embeddings table contract: fixed 64-dim float vectors.
+# LSH hyperplanes / IVF centroid math are plan-time literals, so the dim
+# comes from the table contract instead of a driver-side probe action.
+EMB_DIM = 64
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
-    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3,
+                        dim=EMB_DIM)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    # deterministic hash-sampled coarse quantizer (exact oracle below);
+    # the KMeans quantizer variant is pytest-covered in test_functions.py
     emb = _embeddings(spark, sf_dir)
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
 def q_extract_fixture_pages(spark, sf_dir):
+    # rows-only check over the synthetic fixture sweep (giant-blob skew,
+    # PDFs, encodings); canon-safe scalar projection — array<struct>
+    # columns are exercised by extract_spans/extract_line_spans instead
     ship_package(spark)
     n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
         sf_dir.rstrip("/").rsplit("/", 1)[-1], 500)
     pages = pages_dataframe(spark, n, num_partitions=8,
                             giant_every=500, giant_repeat=5000,
                             body_scale=10)
-    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8))
+    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8)) \
+        .select("url", "n_spans", "mean_confidence", "content_kind",
+                "n_bytes_in", "error")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -613,10 +624,89 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "media_features": _media_sql(),
-        # ann_lsh_topk / ann_ivf_topk / extract_fixture_pages: no oracle —
-        # approximate / fixture-input ops; validated in pytest instead
-        # (ann vs brute-force recall, fixture goldens byte-identical).
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        # extract_fixture_pages: no oracle — fixture-generated HTML/PDF
+        # input (giants, encodings, pathological markup) that SQL cannot
+        # re-derive; validated by the byte-identical golden pytest suite.
     }
+
+
+_ANN_PRELUDE = """
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 list_sum(list_transform(v, x -> x * x)) AS nsq FROM e)
+"""
+
+_ANN_RANK = """
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 8) -> str:
+    """Mirror of lsh_ann_topk: the hyperplanes are the same md5-derived
+    literals the Spark plan uses (similarity._hyperplane), so bucket
+    assignment — round(dot, 6) sign per plane — is engine-independent."""
+    from webextract.functions.similarity import _hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        lits = ", ".join(repr(c) for c in _hyperplane(p, EMB_DIM))
+        d = (f"round(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+             f"i -> v[i] * ([{lits}])[i])), 6)")
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH {_ANN_PRELUDE},
+    b AS (SELECT vec_id, v, nsq, {bucket} AS bucket FROM n),
+    p AS (SELECT vec_id AS probe_id, v AS pv, nsq AS pnsq, bucket
+          FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, b.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(b.v) + 1),
+                                           i -> p.pv[i] * b.v[i]))
+                   / sqrt(p.pnsq * b.nsq), 4) AS cos_sim
+      FROM b JOIN p ON b.bucket = p.bucket AND b.vec_id <> p.probe_id),
+    {_ANN_RANK}
+    """
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Mirror of ivf_ann_topk (hash quantizer): centroids = the
+    n_centroids vectors with the smallest md5(id); assignment = argmin of
+    round(L2², 6) with cid tiebreak — identical struct-sort semantics in
+    Spark (array_sort) and DuckDB (list_sort)."""
+    l2 = ("round(list_sum(list_transform(range(1, len(n.v) + 1), "
+          "i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))), 6)")
+    nearest = (f"list_sort(list_transform(cs, c -> "
+               f"struct_pack(d := {l2}, cid := c.cid)))")
+    return f"""
+    WITH {_ANN_PRELUDE},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM n
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             LIMIT {n_centroids}),
+    carr AS (SELECT list(struct_pack(cid := cid, cv := cv)) AS cs FROM cent),
+    a AS (SELECT n.vec_id, n.v, n.nsq, {nearest}[1].cid AS cluster
+          FROM n, carr),
+    p AS (SELECT n.vec_id AS probe_id, n.v AS pv, n.nsq AS pnsq,
+                 unnest(list_transform({nearest}[1:{n_probe}],
+                                       s -> s.cid)) AS cluster
+          FROM n, carr WHERE n.vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                                           i -> p.pv[i] * a.v[i]))
+                   / sqrt(p.pnsq * a.nsq), 4) AS cos_sim
+      FROM a JOIN p ON a.cluster = p.cluster AND a.vec_id <> p.probe_id),
+    {_ANN_RANK}
+    """
 
 
 def _lang_id_sql() -> str:

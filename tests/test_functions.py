@@ -106,7 +106,7 @@ def test_lsh_ann_subset_of_bucket_and_scores_exact(spark):
         [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
          for i in range(60)])
     probes = df.filter(F.col("vec_id") < 5)
-    approx = lsh_ann_topk(df, probes, k=3, n_planes=4).collect()
+    approx = lsh_ann_topk(df, probes, k=3, n_planes=4, dim=8).collect()
     exact = {(r["probe_id"], r["neighbor_id"]): r["cos_sim"]
              for r in knn_bruteforce(df, probes, k=60).collect()}
     assert len(approx) > 0
@@ -198,23 +198,49 @@ def test_ivf_ann_recall_and_exact_scores(spark):
         [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
          for i in range(200)])
     probes = df.filter(F.col("vec_id") < 10)
-    approx = ivf_ann_topk(df, probes, k=3, n_centroids=8, n_probe=3)
-    rows = approx.collect()
-    assert len(rows) == 30  # 10 probes x k=3 (candidate sets are ample)
     exact_all = {(r["probe_id"], r["neighbor_id"]): r["cos_sim"]
                  for r in knn_bruteforce(df, probes, k=200).collect()}
     top3 = {}
     for (p, n), c in exact_all.items():
         top3.setdefault(p, []).append((c, n))
-    hits = 0
-    for r in rows:
-        # every IVF hit carries the EXACT cosine score
-        assert exact_all[(r["probe_id"], r["neighbor_id"])] == r["cos_sim"]
-        true_top = {n for _, n in
-                    sorted(top3[r["probe_id"]], key=lambda t: (-t[0], t[1]))[:3]}
-        hits += r["neighbor_id"] in true_top
-    recall = hits / 30
-    assert recall >= 0.3, recall  # 3/8 clusters searched on random data
+
+    # both quantizers: the deterministic hash-sampled one (oracle-checked
+    # by the driver too) and the Lloyd-refined KMeans one with a SAMPLED
+    # fit (the at-scale shape — fit never sees the full corpus)
+    variants = {
+        "hash": ivf_ann_topk(df, probes, k=3, n_centroids=8, n_probe=3),
+        "kmeans": ivf_ann_topk(df, probes, k=3, n_centroids=8, n_probe=3,
+                               quantizer="kmeans", fit_fraction=0.5),
+    }
+    for name, approx in variants.items():
+        rows = approx.collect()
+        assert len(rows) == 30, name  # 10 probes x k=3 (candidates ample)
+        hits = 0
+        for r in rows:
+            # every IVF hit carries the EXACT cosine score
+            assert exact_all[(r["probe_id"], r["neighbor_id"])] == r["cos_sim"]
+            true_top = {n for _, n in
+                        sorted(top3[r["probe_id"]],
+                               key=lambda t: (-t[0], t[1]))[:3]}
+            hits += r["neighbor_id"] in true_top
+        recall = hits / 30
+        assert recall >= 0.3, (name, recall)  # 3/8 clusters searched
+
+
+def test_ivf_unknown_quantizer_rejected(spark):
+    from webextract.functions.similarity import ivf_ann_topk
+
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="quantizer"):
+        ivf_ann_topk(df, df, quantizer="nope")
+
+
+def test_lsh_bucket_requires_dim(spark):
+    from webextract.functions.similarity import with_lsh_bucket
+
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="dim"):
+        with_lsh_bucket(df)
 
 
 def test_near_duplicate_docs_composed(docs):

@@ -74,15 +74,7 @@ def knn_bruteforce(embeddings: DataFrame, probes: DataFrame, k: int = 3,
                    F.col("_pnsq"), F.col("_nsq")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim",
-                F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk(scored, k)
 
 
 def near_duplicate_pairs(embeddings: DataFrame, threshold: float = 0.95,
@@ -111,7 +103,8 @@ def near_duplicate_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane component signs,
-    derived from md5 — reproducible on any executor with no broadcast."""
+    derived from md5 — reproducible on any executor with no broadcast,
+    and mirrorable in the DuckDB oracle as literal arrays."""
     import hashlib
 
     comps = []
@@ -125,42 +118,143 @@ def with_lsh_bucket(embeddings: DataFrame, n_planes: int = 8,
                     dim: int | None = None, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """embedding → integer LSH bucket: sign pattern over n_planes
-    deterministic hyperplanes, folded into one int column."""
+    deterministic hyperplanes, folded into one int column.
+
+    ``dim`` (the embedding dimensionality) must be passed by the caller:
+    the hyperplanes are plan-time literals, and inferring dim from the
+    data would require a driver-side action during plan construction.
+    The dot product is rounded to 6 dp before the sign test so the bucket
+    assignment is reproducible across engines (exact DuckDB oracle).
+    """
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        raise ValueError(
+            "with_lsh_bucket requires dim (embedding dimensionality): "
+            "inferring it would need a driver-side action during plan "
+            "construction — pass it from the table contract instead")
     v = _as_double(F.col(vec_col))
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array([F.lit(c) for c in _hyperplane(p, dim)])
-        side = F.when(dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
+        side = F.when(F.round(dot(v, plane), 6) >= 0,
+                      F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + side
     return embeddings.withColumn("lsh_bucket", bucket)
 
 
+def _l2_sq(v: Column, c: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ivf_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
                  n_centroids: int = 16, n_probe: int = 4,
-                 id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 quantizer: str = "hash",
+                 fit_fraction: float | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus,
     search only the ``n_probe`` clusters nearest each probe.
 
-    The classic IVF trade: one small KMeans fit (sampled at scale), one
-    equi-join on cluster id instead of a cross join — candidates shrink by
-    ~n_centroids/n_probe. Scores are exact cosine on the candidate set,
-    same rounding/tie rules as the brute-force baseline, so IVF results
-    are a subset of the exact ranking.
+    The classic IVF trade: one equi-join on cluster id instead of a cross
+    join — candidates shrink by ~n_centroids/n_probe. Scores are exact
+    cosine on the candidate set, same rounding/tie rules as the
+    brute-force baseline, so IVF results are a subset of the exact ranking.
+
+    Quantizers:
+
+    - ``"hash"`` (default): the ``n_centroids`` corpus vectors with the
+      smallest ``md5(id)`` — a deterministic random sample, selected with
+      a distributed partial top-k (``TakeOrderedAndProject``, no global
+      sort). The centroid set is aggregated into ONE array row and
+      broadcast, so cluster assignment is a pure map-side expression:
+      the corpus is NEVER shuffled (build or query), and the whole plan
+      has an exact DuckDB oracle.
+    - ``"kmeans"``: Lloyd-refined centroids via ``pyspark.ml`` — better
+      cluster balance, costs an iterative fit. ``fit_fraction`` samples
+      the fit input (set it well below 1.0 at scale; the assignment pass
+      still covers the full corpus).
     """
+    if quantizer == "kmeans":
+        return _ivf_kmeans_topk(embeddings, probes, k, n_centroids, n_probe,
+                                id_col, vec_col, fit_fraction)
+    if quantizer != "hash":
+        raise ValueError(f"unknown quantizer: {quantizer!r}")
+
+    base = _prepared(embeddings, id_col, vec_col)
+    cent = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("_v").alias("_cv"))
+    )
+    # one row holding all centroids: broadcast-joined to corpus and probes
+    # so argmin-over-centroids is a per-row array expression, zero shuffle
+    carr = cent.agg(F.collect_list(F.struct("cid", "_cv")).alias("_cs"))
+
+    def nearest(n: int) -> Column:
+        dists = F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                F.round(_l2_sq(F.col("_v"), c["_cv"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    corpus = (
+        base.crossJoin(F.broadcast(carr))
+        .select(F.col(id_col), F.col("_v"), F.col("_nsq"),
+                nearest(1)[0]["cid"].alias("_cluster"))
+    )
+    p = (
+        _prepared(probes, id_col, vec_col)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col("_v").alias("_pv"), F.col("_nsq").alias("_pnsq"),
+            F.explode(F.transform(nearest(n_probe), lambda s: s["cid"]))
+            .alias("_cluster"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(p), "_cluster")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id", F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("_pv"), F.col("_v"),
+                   F.col("_pnsq"), F.col("_nsq")).alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def _ivf_kmeans_topk(embeddings: DataFrame, probes: DataFrame, k: int,
+                     n_centroids: int, n_probe: int, id_col: str,
+                     vec_col: str, fit_fraction: float | None) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     base = embeddings.withColumn("_fv", array_to_vector(
         _as_double(F.col(vec_col))))
+    fit_input = (base.sample(fraction=fit_fraction, seed=42)
+                 if fit_fraction is not None else base)
     model = KMeans(k=n_centroids, seed=42, featuresCol="_fv",
-                   predictionCol="_cluster").fit(base)
-    corpus = _prepared(
-        model.transform(base).select(id_col, vec_col, "_cluster"),
-        id_col, vec_col,
-    ).join(model.transform(base).select(id_col, "_cluster"), id_col)
+                   predictionCol="_cluster").fit(fit_input)
+    v = _as_double(F.col(vec_col))
+    corpus = model.transform(base).select(
+        F.col(id_col), v.alias("_v"), norm_sq(v).alias("_nsq"), "_cluster")
 
     # probe -> n_probe nearest centroids, computed as column expressions
     # over the (tiny, literal) centroid list — no second ML pass
@@ -168,12 +262,8 @@ def ivf_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
     p = _prepared(probes, id_col, vec_col)
     dists = F.array(*[
         F.struct(
-            F.aggregate(
-                F.zip_with(F.col("_v"),
-                           F.array(*[F.lit(x) for x in center]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, v: acc + v,
-            ).alias("d"),
+            _l2_sq(F.col("_v"),
+                   F.array(*[F.lit(x) for x in center])).alias("d"),
             F.lit(j).alias("c"),
         )
         for j, center in enumerate(centers)
@@ -187,7 +277,7 @@ def ivf_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
         )
     )
     scored = (
-        corpus.join(p, "_cluster")
+        corpus.join(F.broadcast(p), "_cluster")
         .filter(F.col(id_col) != F.col("probe_id"))
         .select(
             "probe_id", F.col(id_col).alias("neighbor_id"),
@@ -195,39 +285,37 @@ def ivf_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
                    F.col("_pnsq"), F.col("_nsq")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim",
-                F.col("rank").cast("int").alias("rank"))
+    return _topk(scored, k)
+
+
+def _prepared_with_bucket(df: DataFrame, n_planes: int, dim: int,
+                          id_col: str, vec_col: str) -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return with_lsh_bucket(df, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col), F.col("lsh_bucket"),
+        v.alias("_v"), norm_sq(v).alias("_nsq"),
     )
 
 
 def lsh_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
-                 n_planes: int = 8, id_col: str = "vec_id",
+                 n_planes: int = 8, dim: int | None = None,
+                 id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: exact cosine, but only within the probe's LSH
     bucket. One equi-join on the bucket key replaces the cross join —
     the candidate set shrinks by ~2^n_planes, which is what survives at
-    10^9-vector scale (bucket-key shuffle instead of broadcast-nested-loop).
+    10^9-vector scale (bucket-key shuffle instead of broadcast-nested-loop;
+    here the tiny probe side is broadcast so the corpus never shuffles).
+    ``dim`` must come from the caller's table contract (see
+    :func:`with_lsh_bucket`).
     """
-    dim = len(embeddings.select(vec_col).first()[0])
-    corpus = with_lsh_bucket(embeddings, n_planes, dim, id_col, vec_col)
-    corpus = _prepared(corpus, id_col, vec_col).join(
-        corpus.select(id_col, "lsh_bucket"), id_col
-    )
-    p = with_lsh_bucket(probes, n_planes, dim, id_col, vec_col)
-    p = _prepared(p, id_col, vec_col).join(
-        p.select(id_col, "lsh_bucket"), id_col
-    ).select(
+    corpus = _prepared_with_bucket(embeddings, n_planes, dim, id_col, vec_col)
+    p = _prepared_with_bucket(probes, n_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("probe_id"), F.col("lsh_bucket"),
         F.col("_v").alias("_pv"), F.col("_nsq").alias("_pnsq"),
     )
     scored = (
-        corpus.join(p, "lsh_bucket")
+        corpus.join(F.broadcast(p), "lsh_bucket")
         .filter(F.col(id_col) != F.col("probe_id"))
         .select(
             "probe_id", F.col(id_col).alias("neighbor_id"),
@@ -235,12 +323,4 @@ def lsh_ann_topk(embeddings: DataFrame, probes: DataFrame, k: int = 3,
                    F.col("_pnsq"), F.col("_nsq")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim",
-                F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk(scored, k)
