@@ -258,3 +258,18 @@ def test_near_duplicate_docs_composed(docs):
         assert exact[pair] == j
     # and candidates are a subset of the exact result's pairs
     assert set(out) <= set(exact)
+
+    # staged shape: precomputed signatures -> candidates -> verify must
+    # give the identical result (this is how a production run shares the
+    # shingle/signature stage across consumers instead of recomputing it)
+    from webextract.functions.dedup import lsh_candidate_pairs, with_minhash
+
+    sig = with_minhash(docs).persist()
+    try:
+        cands = lsh_candidate_pairs(sig, persist_bands=False)
+        staged = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                  for r in near_duplicate_docs(
+                      docs, threshold=0.5, candidates=cands).collect()}
+        assert staged == out
+    finally:
+        sig.unpersist()

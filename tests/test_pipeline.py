@@ -173,6 +173,82 @@ def test_date_partitioned_sink_prunes(spark, pages, tmp_path):
     assert spark.read.parquet(out).count() == N
 
 
+def test_metrics_readback_is_partition_pruned(spark, pages, tmp_path):
+    out = str(tmp_path / "pruned")
+    s = run_extraction(spark, pages, out,
+                       opts=PipelineOptions(num_partitions=3),
+                       run_id="prunedrun1")
+    assert s["rows_written"] == N
+    import os
+    # the sink is laid out with run_id as the (last) partition level ...
+    assert any(d.startswith("run_id=") for d in os.listdir(out))
+    # ... so the metrics read-back (same read + filter the pipeline does)
+    # prunes to this run's files at plan time instead of scanning history
+    back = spark.read.parquet(out).filter(F.col("run_id") == "prunedrun1")
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "run_id" in pf_line, pf_line
+
+
+def test_table_sink_create_append_resume(spark, pages, tmp_path):
+    # the catalog-table sink branch (sink_is_table=True): in production
+    # sink_format="iceberg" (atomic snapshot appends); the session-catalog
+    # parquet provider exercises the identical code path here
+    spark.sql("DROP TABLE IF EXISTS webextract_sink_test")
+    opts = PipelineOptions(num_partitions=3, sink_is_table=True)
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    s1 = run_extraction(spark, half, "webextract_sink_test", opts=opts)
+    assert s1["rows_written"] == half.count()
+    s2 = run_extraction(spark, pages, "webextract_sink_test", opts=opts)
+    assert s2["rows_written"] == N - s1["rows_written"]
+    final = spark.read.table("webextract_sink_test")
+    assert final.count() == N
+    assert final.select("url").distinct().count() == N
+    # third run: resume no-op
+    s3 = run_extraction(spark, pages, "webextract_sink_test", opts=opts)
+    assert s3["rows_written"] == 0
+    spark.sql("DROP TABLE webextract_sink_test")
+
+
+def test_sink_format_validation():
+    with pytest.raises(ValueError, match="unknown sink_format"):
+        PipelineOptions(sink_format="avro")
+    with pytest.raises(ValueError, match="sink_is_table"):
+        PipelineOptions(sink_format="iceberg")  # table identifier required
+    PipelineOptions(sink_format="iceberg", sink_is_table=True)  # ok
+
+
+def test_corrupt_sink_read_raises_not_first_run(spark, tmp_path):
+    from webextract.pipeline import read_sink
+
+    # missing path -> genuinely a first run
+    assert read_sink(spark, str(tmp_path / "nope")) is None
+    # corrupt committed data must RAISE (resuming as "first run" would
+    # silently duplicate the whole corpus into the sink)
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.snappy.parquet").write_bytes(b"not a parquet file!!")
+    with pytest.raises(Exception):
+        df = read_sink(spark, str(bad))
+        if df is not None:  # schema inference may defer the footer read
+            df.collect()
+
+
+def test_zero_row_first_run(spark, pages, tmp_path):
+    # an empty todo on a FIRST run appends no files at all (dynamic
+    # partitioning): the summary must report 0 rows, not crash on the
+    # missing read-back
+    none = pages.filter(F.col("url").isNull())
+    s = run_extraction(spark, none, str(tmp_path / "zero"),
+                       opts=PipelineOptions(num_partitions=2))
+    assert s["rows_written"] == 0 and s["partitions"] == 0
+
+
 def test_layout_mismatch_rejected(spark, pages, tmp_path):
     out = str(tmp_path / "dated2")
     run_extraction(spark, pages.limit(10), out,

@@ -87,13 +87,31 @@ class PipelineOptions:
     num_partitions: int = 32
     giant_bytes: int = 1 << 20       # blobs above this get their own routing
     salt_factor: int = 4             # salt buckets per target partition
+    # sink provider + addressing: with ``sink_is_table=False`` (default)
+    # the output argument is a filesystem path and ``sink_format`` must be
+    # "parquet"; with ``sink_is_table=True`` the output argument is a
+    # catalog TABLE identifier and ``sink_format`` is the DataSource
+    # provider — "iceberg" in production (atomic snapshot commits; needs
+    # the Iceberg catalog configured on the session), "parquet" for a
+    # session-catalog managed table (used by the tests).
     sink_format: str = "parquet"     # "parquet" | "iceberg"
+    sink_is_table: bool = False
     # "single": one scan, giants hashed into a dedicated salt space
     #           (default — at 100 TB a second scan of the html column is
     #           the dominant extra cost)
     # "dual":   two scans, giants spread round-robin (tightest giant tail;
     #           right when giants are both huge and frequent)
     scan_mode: str = "single"
+
+    def __post_init__(self) -> None:
+        if self.sink_format not in ("parquet", "iceberg"):
+            raise ValueError(
+                f"unknown sink_format: {self.sink_format!r} "
+                "(supported: parquet, iceberg)")
+        if self.sink_format == "iceberg" and not self.sink_is_table:
+            raise ValueError(
+                "sink_format='iceberg' writes catalog tables: "
+                "set sink_is_table=True and pass a table identifier")
 
 
 def read_pages(spark: SparkSession, source: str) -> DataFrame:
@@ -108,17 +126,41 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.schema(PAGES_SCHEMA).parquet(source)
 
 
-def completed_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
+def read_sink(spark: SparkSession, output: str,
+              opts: PipelineOptions = PipelineOptions()) -> DataFrame | None:
+    """Read the committed sink (table or path), or None if nothing was
+    ever committed. Only the two "first run" conditions map to None —
+    missing path / missing table, and a path with no committed parquet
+    footers (a killed first attempt leaves ``_temporary`` litter but no
+    data files). Any OTHER read failure (permissions, corrupt footer, FS
+    hiccup) re-raises: treating it as "first run" would silently
+    reprocess everything and append duplicate rows.
+    """
+    from pyspark.errors import AnalysisException
+
+    if opts.sink_is_table:
+        if not spark.catalog.tableExists(output):
+            return None
+        return spark.read.table(output)
+    try:
+        return spark.read.parquet(output)
+    except AnalysisException as exc:
+        get_cls = getattr(exc, "getCondition", None) or exc.getErrorClass
+        if get_cls() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
+
+
+def completed_urls(spark: SparkSession, output: str,
+                   opts: PipelineOptions = PipelineOptions()) -> DataFrame | None:
     """urls already committed to the sink — the checkpoint unit.
 
     Analog of the reference's skip-if-exists stamp files
-    (``data/preprocess.py:404-408,471-475``); with Iceberg the read would
-    pin a snapshot id so resume is consistent under concurrent writers.
+    (``data/preprocess.py:404-408,471-475``); with Iceberg the read pins
+    the current snapshot so resume is consistent under concurrent writers.
     """
-    try:
-        return spark.read.parquet(output_path).select("url")
-    except Exception:
-        return None  # first run: nothing committed yet
+    committed = read_sink(spark, output, opts)
+    return None if committed is None else committed.select("url")
 
 
 def plan_todo(pages: DataFrame, done: DataFrame | None,
@@ -244,12 +286,12 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
     lands on the driver.
     """
     run_id = run_id or uuid.uuid4().hex[:16]
-    done = completed_urls(spark, output_path)
+    existing = read_sink(spark, output_path, opts)
+    done = None if existing is None else existing.select("url")
     # layout guard: appending flat files into a date-partitioned sink (or
     # vice versa) makes the new files INVISIBLE to partition discovery —
     # silent data loss. Refuse the mismatch instead.
-    if done is not None:
-        existing = spark.read.parquet(output_path)
+    if existing is not None:
         existing_dated = "warc_date" in existing.columns
         if existing_dated != partition_by_date:
             raise ValueError(
@@ -258,20 +300,35 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
                 f"but partition_by_date={partition_by_date}; appending "
                 "across layouts silently hides the new files from reads")
     todo = plan_todo(pages, done)
+    # run_id is the LAST partition level of every sink layout: the metrics
+    # read-back below prunes to exactly this run's files at plan time
+    # instead of scanning all historical output (Iceberg analog: the
+    # snapshot just committed).
     if partition_by_date:
         extracted = (
             extract_dataframe(todo, cfg, opts, run_id=run_id,
                               passthrough=("warc_ts",))
             .withColumn("warc_date", F.to_date("warc_ts"))
         )
-        extracted.write.mode("append").partitionBy("warc_date") \
-            .parquet(output_path)
+        partition_cols = ("warc_date", "run_id")
     else:
         extracted = extract_dataframe(todo, cfg, opts, run_id=run_id)
-        extracted.write.mode("append").parquet(output_path)
+        partition_cols = ("run_id",)
+    if opts.sink_is_table:
+        (extracted.write.format(opts.sink_format).mode("append")
+         .partitionBy(*partition_cols).saveAsTable(output_path))
+    else:
+        extracted.write.mode("append").partitionBy(*partition_cols) \
+            .parquet(output_path)
 
-    # lineage/metrics from committed data only (column-pruned read-back)
-    committed = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
+    # lineage/metrics from committed data only; the run_id partition
+    # filter prunes the read-back to the files this run just wrote
+    committed_all = read_sink(spark, output_path, opts)
+    if committed_all is None:
+        # zero-row FIRST run: a dynamic-partition append of an empty frame
+        # creates no data files at all, so there is nothing to read back
+        return {"run_id": run_id, "rows_written": 0, "partitions": 0}
+    committed = committed_all.filter(F.col("run_id") == run_id)
     metrics = (
         committed.groupBy("run_id", "partition_id")
         .agg(
