@@ -274,6 +274,15 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_block_scores(spark, sf_dir):
+    # S8 debug-sink analog: per-block features + classifier decision,
+    # including dropped boilerplate (threshold-tuning surface)
+    ship_package(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8),
+                             debug_scores=True)
+
+
 def q_media_features(spark, sf_dir):
     ship_package(spark)
     from webextract.functions.text import norm_text
@@ -347,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_confusion": q_events_confusion,
         "events_iou": q_events_iou,
         "events_windowed": q_events_windowed,
+        "block_scores": q_block_scores,
         "media_features": q_media_features,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -622,6 +632,20 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "block_scores": f"""
+            WITH n AS (SELECT doc_id, {norm} AS norm FROM documents)
+            SELECT {url} AS url,
+                   CAST(0 AS INTEGER) AS block_order,
+                   'p' AS tag,
+                   FALSE AS marginal,
+                   CAST(length(norm) AS BIGINT) AS n_chars,
+                   CAST(0.0 AS DOUBLE) AS link_density,
+                   CASE WHEN length(norm) >= 3 THEN 'paragraph'
+                        ELSE 'background' END AS region_class,
+                   CAST(1.0 AS DOUBLE) AS confidence,
+                   length(norm) >= 3 AS kept
+            FROM n WHERE length(norm) > 0
         """,
         "media_features": _media_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

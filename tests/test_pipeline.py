@@ -239,6 +239,31 @@ def test_corrupt_sink_read_raises_not_first_run(spark, tmp_path):
             df.collect()
 
 
+def test_debug_block_scores(spark):
+    import datetime as dt
+    html = (b"<html><body>"
+            b'<nav><ul><li><a href="/a">only link words here</a></li></ul></nav>'
+            b"<p>real content sentence with words</p>"
+            b"<p>ab</p></body></html>")
+    pages = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1), html, None, None),
+         ("u2", dt.datetime(2024, 1, 1), None, None, None)],  # empty: no rows
+        PAGES_SCHEMA)
+    out = extract_dataframe(pages, opts=PipelineOptions(num_partitions=1),
+                            debug_scores=True).collect()
+    rows = sorted((r for r in out), key=lambda r: r["block_order"])
+    assert [r["url"] for r in rows] == ["u1"] * 3
+    nav, content, tiny = rows
+    # boilerplate block is PRESENT in the debug view, with its features
+    assert nav["tag"] == "li" and nav["marginal"] is True
+    assert nav["link_density"] == 1.0
+    assert nav["region_class"] == "background" and nav["kept"] is False
+    assert content["region_class"] == "paragraph" and content["kept"] is True
+    assert content["n_chars"] == len("real content sentence with words")
+    # min-size filtered block also visible
+    assert tiny["region_class"] == "background" and tiny["n_chars"] == 2
+
+
 def test_zero_row_first_run(spark, pages, tmp_path):
     # an empty todo on a FIRST run appends no files at all (dynamic
     # partitioning): the summary must report 0 rows, not crash on the

@@ -69,10 +69,13 @@ BLOCK_TAGS: frozenset[str] = frozenset({
 })
 
 # Content inside these tags is never text (reference analog: corrupt/ignored
-# inputs are skipped, ``inference.py:344-346``).
+# inputs are skipped, ``inference.py:344-346``). textarea is here (form
+# input content is boilerplate) rather than in the fast tokenizer's
+# rawtext set, so both tokenizer engines handle it identically — stdlib
+# HTMLParser only rawtext-scans script/style.
 SKIP_CONTENT_TAGS: frozenset[str] = frozenset({
     "script", "style", "noscript", "template", "svg", "iframe",
-    "object", "embed", "head", "canvas", "datalist",
+    "object", "embed", "head", "canvas", "datalist", "textarea",
 })
 
 # Void elements (never pushed on the open-tag stack).

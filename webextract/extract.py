@@ -20,7 +20,13 @@ from typing import Any
 import pyarrow as pa
 
 from .config import DEFAULT_CONFIG, ExtractConfig
-from .html_extract import ExtractResult, extract_html
+from .html_extract import (
+    ExtractResult,
+    classify_block,
+    decode_payload,
+    extract_html,
+    tokenize_blocks,
+)
 from .pdf_extract import extract_pdf, is_pdf
 
 _EMPTY = ExtractResult(text="", spans=())
@@ -126,6 +132,69 @@ def _rows_to_batch(rows: list[dict], pid: int, run_id: str) -> pa.RecordBatch:
         "partition_id": pa.array([pid] * n, pa.int32()),
         "run_id": pa.array([run_id] * n, pa.string()),
     })
+
+
+def block_score_rows(url: str, payload: bytes | None,
+                     cfg: ExtractConfig = DEFAULT_CONFIG) -> list[dict]:
+    """Per-block feature/score rows — the S8 debug-sink analog (the
+    reference's optional per-pixel score output,
+    ``page_xml/output_page_xml.py:156-189``): every block the classifier
+    saw, with the features it scored on and the decision, INCLUDING
+    dropped boilerplate. Pure; never raises; non-HTML payloads yield
+    no rows (the classifier has no block view of PDFs)."""
+    try:
+        if not payload or is_pdf(payload):
+            return []
+        if len(payload) > cfg.max_html_bytes:
+            payload = payload[: cfg.max_html_bytes]
+        rows = []
+        for i, block in enumerate(tokenize_blocks(decode_payload(payload))):
+            cls, conf = classify_block(block, cfg)
+            rows.append({
+                "url": url,
+                "block_order": i,
+                "tag": block.tag,
+                "marginal": block.marginal,
+                "n_chars": len(block.text()),
+                "link_density": round(block.link_density(), 6),
+                "region_class": cls,
+                "confidence": conf,
+                "kept": cls != "background",
+            })
+        return rows
+    except Exception:  # pragma: no cover - tokenizer/classifier are total
+        return []
+
+
+_BLOCK_SCORE_ARROW = pa.schema([
+    ("url", pa.string()),
+    ("block_order", pa.int32()),
+    ("tag", pa.string()),
+    ("marginal", pa.bool_()),
+    ("n_chars", pa.int64()),
+    ("link_density", pa.float64()),
+    ("region_class", pa.string()),
+    ("confidence", pa.float64()),
+    ("kept", pa.bool_()),
+])
+
+
+def make_block_score_batches(cfg: ExtractConfig):
+    """``mapInArrow`` function for the per-block debug sink: one output
+    row per (url, block), matching ``BLOCK_SCORES_SCHEMA``."""
+
+    def score_batches(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            payloads = batch.column("html").to_pylist()
+            rows: list[dict] = []
+            for u, p in zip(urls, payloads):
+                rows.extend(block_score_rows(u, p, cfg))
+            yield pa.RecordBatch.from_pylist(rows, schema=_BLOCK_SCORE_ARROW)
+
+    return score_batches
 
 
 def make_extract_batches(cfg: ExtractConfig, run_id: str,

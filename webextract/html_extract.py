@@ -288,8 +288,12 @@ _TAG_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
-# elements whose raw content is never markup (CDATA-ish content models)
-_RAWTEXT_TAGS = frozenset({"script", "style", "textarea"})
+# elements whose raw content is never markup — EXACTLY the stdlib
+# HTMLParser CDATA_CONTENT_ELEMENTS, so the fast engine and the stdlib
+# cross-validation engine see the same tag-event stream (textarea content
+# is dropped via SKIP_CONTENT_TAGS instead: both engines parse its body
+# as markup and suppress the text, identically)
+_RAWTEXT_TAGS = frozenset({"script", "style"})
 
 
 def tokenize_blocks(html_text: str) -> list[Block]:

@@ -233,18 +233,31 @@ def salted_repartition(df: DataFrame, opts: PipelineOptions) -> DataFrame:
 def extract_dataframe(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
                       opts: PipelineOptions = PipelineOptions(),
                       run_id: str | None = None,
-                      passthrough: tuple[str, ...] = ()) -> DataFrame:
+                      passthrough: tuple[str, ...] = (),
+                      debug_scores: bool = False) -> DataFrame:
     """pages → extracted (lazy; no sink). Column-prunes to (url, html)
     before the Arrow exchange so the Python workers never receive columns
     they don't read (the projection-pushdown analog of the reference's
     early resize, ``inference.py:170``). ``passthrough`` columns ride
     through the Arrow stage zero-copy and are appended to the output
-    schema (e.g. ``warc_ts`` for date-partitioned sinks)."""
+    schema (e.g. ``warc_ts`` for date-partitioned sinks).
+
+    ``debug_scores=True`` returns the per-block feature/score view
+    (``BLOCK_SCORES_SCHEMA``) instead of the extracted rows — the S8
+    debug-sink analog (reference ``page_xml/output_page_xml.py:156-189``)
+    for tuning link-density / min-size thresholds on a real crawl sample.
+    Same scan pruning and skew routing; one row per (url, block)."""
     from pyspark.sql.types import StructType
+
+    from .extract import make_block_score_batches
+    from .schema import BLOCK_SCORES_SCHEMA
 
     run_id = run_id or uuid.uuid4().hex[:16]
     slim = pages.select("url", "html", *passthrough)
     routed = salted_repartition(slim, opts)
+    if debug_scores:
+        return routed.mapInArrow(
+            make_block_score_batches(cfg), BLOCK_SCORES_SCHEMA)
     schema = StructType(
         list(EXTRACTED_SCHEMA.fields)
         + [slim.schema[name] for name in passthrough])

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -64,6 +65,22 @@ EXTRACTED_SCHEMA = StructType([
     StructField("parse_us", LongType(), True),
     StructField("partition_id", IntegerType(), True),
     StructField("run_id", StringType(), True),
+])
+
+# optional per-block feature/score debug sink (S8 analog: the reference's
+# optional per-pixel score-map output, page_xml/output_page_xml.py:156-189)
+# — what the boilerplate classifier saw and decided for EVERY block,
+# kept or dropped; the threshold-tuning surface on real crawls
+BLOCK_SCORES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("block_order", IntegerType(), False),
+    StructField("tag", StringType(), False),
+    StructField("marginal", BooleanType(), False),
+    StructField("n_chars", LongType(), False),
+    StructField("link_density", DoubleType(), False),
+    StructField("region_class", StringType(), False),
+    StructField("confidence", DoubleType(), False),
+    StructField("kept", BooleanType(), False),
 ])
 
 # per-partition lineage + throughput (north_rule requirement; analog of the
