@@ -50,11 +50,11 @@ _LINE_SPAN_TYPE = pa.list_(pa.struct([
 ]))
 
 
-def extract_record(url: str, payload: bytes | None,
-                   cfg: ExtractConfig = DEFAULT_CONFIG) -> dict[str, Any]:
-    """One document → one output row (pure; never raises).
+def _extract_one(url: str, payload: bytes | None,
+                 cfg: ExtractConfig) -> tuple:
+    """One document → (kind, result, error, parse_us, n_bytes_in).
 
-    Errors are captured in the ``error`` column — the reference's
+    Pure; never raises: errors are captured as a value — the reference's
     skip-with-warning contract (``inference.py:344-346``) recast so a bad
     row can never fail a 10^12-row job.
     """
@@ -72,6 +72,15 @@ def extract_record(url: str, payload: bytes | None,
     except Exception as exc:  # pragma: no cover - extractors are total
         result, error = _EMPTY, f"{type(exc).__name__}: {exc}"
     parse_us = int((time.perf_counter() - t0) * 1_000_000)
+    return kind, result, error, parse_us, len(payload) if payload else 0
+
+
+def extract_record(url: str, payload: bytes | None,
+                   cfg: ExtractConfig = DEFAULT_CONFIG) -> dict[str, Any]:
+    """One document → one output row as a dict — the single-document
+    debugging API. The batch path (:func:`make_extract_batches`) does NOT
+    go through dicts; it fills columnar accumulators directly."""
+    kind, result, error, parse_us, n_bytes = _extract_one(url, payload, cfg)
     spans = [
         {
             "span_id": s.span_id,
@@ -107,28 +116,87 @@ def extract_record(url: str, payload: bytes | None,
         "mean_confidence": mean_conf,
         "content_kind": kind,
         "error": error,
-        "n_bytes_in": len(payload) if payload else 0,
+        "n_bytes_in": n_bytes,
         "parse_us": parse_us,
     }
 
 
-def _rows_to_batch(rows: list[dict], pid: int, run_id: str) -> pa.RecordBatch:
-    n = len(rows)
+def _extract_batch(urls: list, payloads: list, cfg: ExtractConfig,
+                   pid: int, run_id: str) -> pa.RecordBatch:
+    """Columnar batch assembly: one pass over the documents filling flat
+    column accumulators; spans/line_spans become Arrow List(Struct) via
+    offsets + flattened child arrays — no per-row dicts, no per-span
+    dicts, no pandas."""
+    n = len(urls)
+    texts: list[str] = []
+    n_spans: list[int] = []
+    mean_conf: list[float | None] = []
+    kinds: list[str] = []
+    errors: list[str | None] = []
+    n_bytes: list[int] = []
+    parse_us: list[int] = []
+    # flattened span children + list offsets
+    s_id: list[str] = []; s_cls: list[str] = []; s_typ: list[str] = []
+    s_cs: list[int] = []; s_ce: list[int] = []
+    s_ro: list[int] = []; s_cf: list[float] = []
+    s_off: list[int] = [0]
+    l_id: list[str] = []; l_pid: list[str] = []
+    l_cs: list[int] = []; l_ce: list[int] = []; l_lo: list[int] = []
+    l_off: list[int] = [0]
+
+    for url, payload in zip(urls, payloads):
+        kind, result, error, us, nb = _extract_one(url, payload, cfg)
+        spans = result.spans
+        texts.append(result.text)
+        n_spans.append(len(spans))
+        kinds.append(kind)
+        errors.append(error)
+        n_bytes.append(nb)
+        parse_us.append(us)
+        conf_sum = 0.0
+        for s in spans:
+            s_id.append(s.span_id)
+            s_cls.append(s.region_class)
+            s_typ.append(s.region_type)
+            s_cs.append(s.char_start)
+            s_ce.append(s.char_end)
+            s_ro.append(s.reading_order)
+            s_cf.append(s.confidence)
+            conf_sum += s.confidence
+        s_off.append(len(s_id))
+        mean_conf.append(round(conf_sum / len(spans), 6) if spans else None)
+        for ls in result.line_spans:
+            l_id.append(ls.line_id)
+            l_pid.append(ls.parent_span_id)
+            l_cs.append(ls.char_start)
+            l_ce.append(ls.char_end)
+            l_lo.append(ls.line_order)
+        l_off.append(len(l_id))
+
+    span_struct = pa.StructArray.from_arrays(
+        [pa.array(s_id, pa.string()), pa.array(s_cls, pa.string()),
+         pa.array(s_typ, pa.string()), pa.array(s_cs, pa.int64()),
+         pa.array(s_ce, pa.int64()), pa.array(s_ro, pa.int32()),
+         pa.array(s_cf, pa.float64())],
+        fields=list(_SPAN_TYPE.value_type))
+    line_struct = pa.StructArray.from_arrays(
+        [pa.array(l_id, pa.string()), pa.array(l_pid, pa.string()),
+         pa.array(l_cs, pa.int64()), pa.array(l_ce, pa.int64()),
+         pa.array(l_lo, pa.int32())],
+        fields=list(_LINE_SPAN_TYPE.value_type))
     return pa.record_batch({
-        "url": pa.array([r["url"] for r in rows], pa.string()),
-        "extracted_text": pa.array(
-            [r["extracted_text"] for r in rows], pa.string()),
-        "spans": pa.array([r["spans"] for r in rows], _SPAN_TYPE),
-        "line_spans": pa.array(
-            [r["line_spans"] for r in rows], _LINE_SPAN_TYPE),
-        "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
-        "mean_confidence": pa.array(
-            [r["mean_confidence"] for r in rows], pa.float64()),
-        "content_kind": pa.array(
-            [r["content_kind"] for r in rows], pa.string()),
-        "error": pa.array([r["error"] for r in rows], pa.string()),
-        "n_bytes_in": pa.array([r["n_bytes_in"] for r in rows], pa.int64()),
-        "parse_us": pa.array([r["parse_us"] for r in rows], pa.int64()),
+        "url": pa.array(urls, pa.string()),
+        "extracted_text": pa.array(texts, pa.string()),
+        "spans": pa.ListArray.from_arrays(
+            pa.array(s_off, pa.int32()), span_struct),
+        "line_spans": pa.ListArray.from_arrays(
+            pa.array(l_off, pa.int32()), line_struct),
+        "n_spans": pa.array(n_spans, pa.int32()),
+        "mean_confidence": pa.array(mean_conf, pa.float64()),
+        "content_kind": pa.array(kinds, pa.string()),
+        "error": pa.array(errors, pa.string()),
+        "n_bytes_in": pa.array(n_bytes, pa.int64()),
+        "parse_us": pa.array(parse_us, pa.int64()),
         "partition_id": pa.array([pid] * n, pa.int32()),
         "run_id": pa.array([run_id] * n, pa.string()),
     })
@@ -220,9 +288,7 @@ def make_extract_batches(cfg: ExtractConfig, run_id: str,
         for batch in batches:
             urls = batch.column("url").to_pylist()
             payloads = batch.column("html").to_pylist()
-            rows = [extract_record(u, p, cfg)
-                    for u, p in zip(urls, payloads)]
-            out = _rows_to_batch(rows, pid, run_id)
+            out = _extract_batch(urls, payloads, cfg, pid, run_id)
             for name in passthrough:
                 out = out.append_column(name, batch.column(name))
             yield out

@@ -159,9 +159,15 @@ class _BlockBuilder:
         self._marginal_depth = 0
 
     def flush(self) -> None:
-        if self._cur is not None:
-            if self._cur.text():
-                self.blocks.append(self._cur)
+        cur = self._cur
+        if cur is not None:
+            text = cur.text()
+            if text:
+                # nws over the normalized text == sum of per-piece token
+                # lengths (whitespace runs collapse to single spaces), but
+                # counted once per BLOCK in C instead of once per data event
+                cur.total_nws = len(text) - text.count(" ")
+                self.blocks.append(cur)
             self._cur = None
 
     def start_tag(self, tag: str) -> None:
@@ -195,10 +201,16 @@ class _BlockBuilder:
             return
         if tag in BLOCK_TAGS and tag not in VOID_TAGS:
             self.flush()
+            stack = self._block_stack
+            # fast path: properly nested markup closes the top of stack
+            if stack and stack[-1] == tag:
+                stack.pop()
+                if tag in MARGINAL_ANCESTOR_TAGS:
+                    self._marginal_depth = max(0, self._marginal_depth - 1)
             # tolerant pop: unwind to the matching open tag if present
-            if tag in self._block_stack:
-                while self._block_stack:
-                    popped = self._block_stack.pop()
+            elif tag in stack:
+                while stack:
+                    popped = stack.pop()
                     if popped in MARGINAL_ANCESTOR_TAGS:
                         self._marginal_depth = max(0, self._marginal_depth - 1)
                     if popped == tag:
@@ -212,13 +224,11 @@ class _BlockBuilder:
             self._cur = Block(
                 tag=tag, marginal=self._marginal_depth > 0, pieces=[]
             )
-        block = self._cur
-        block.pieces.append(data)
-        # non-whitespace char count via C-level split (hot path: giants)
-        nws = sum(map(len, data.split()))
-        block.total_nws += nws
+        self._cur.pieces.append(data)
+        # total_nws is counted once per block at flush(); only anchored
+        # pieces need the per-event count (link-density numerator)
         if self._anchor_depth > 0:
-            block.link_nws += nws
+            self._cur.link_nws += sum(map(len, data.split()))
 
 
 class _BlockParser(HTMLParser):
@@ -301,35 +311,39 @@ def tokenize_blocks(html_text: str) -> list[Block]:
     pos, n = 0, len(html_text)
     lower: str | None = None  # lazily lowered copy for rawtext close scan
     find = html_text.find
+    # bound methods hoisted out of the ~1-call-per-tag loop (hot path:
+    # giant pages are hundreds of thousands of tag events)
+    data, start_tag, end_tag = b.data, b.start_tag, b.end_tag
+    tag_match = _TAG_RE.match
     while pos < n:
         lt = find("<", pos)
         if lt == -1:
-            b.data(_unescape(html_text[pos:]))
+            data(_unescape(html_text[pos:]))
             break
         if lt > pos:
-            b.data(_unescape(html_text[pos:lt]))
-        m = _TAG_RE.match(html_text, lt)
+            data(_unescape(html_text[pos:lt]))
+        m = tag_match(html_text, lt)
         if m is None:
-            b.data("<")  # bare '<' is text, as in html.parser
+            data("<")  # bare '<' is text, as in html.parser
             pos = lt + 1
             continue
         pos = m.end()
-        start_name, attrs, end_name = m.group(1), m.group(2), m.group(3)
+        start_name, attrs, end_name = m.group(1, 2, 3)
         if start_name is not None:
             tag = start_name.lower()
-            b.start_tag(tag)
+            start_tag(tag)
             if attrs and attrs.rstrip().endswith("/"):
-                b.end_tag(tag)  # self-closing
+                end_tag(tag)  # self-closing
             elif tag in _RAWTEXT_TAGS:
                 if lower is None:
                     lower = html_text.lower()
                 close = lower.find(f"</{tag}", pos)
                 if close == -1:
-                    b.end_tag(tag)
+                    end_tag(tag)
                     break  # unterminated rawtext swallows the rest
                 pos = close  # skip raw content; end tag parsed next loop
         elif end_name is not None:
-            b.end_tag(end_name.lower())
+            end_tag(end_name.lower())
     b.flush()
     return b.blocks
 
