@@ -242,9 +242,20 @@ def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
     """
     cands = candidates if candidates is not None else lsh_candidate_pairs(
         with_minhash(docs, id_col, text_col), id_col=id_col)
+    # verify only needs the CANDIDATE docs' shingle sets: a semi-join
+    # before the explode keeps the expensive shingle materialization
+    # proportional to |candidates| (~linear for web text), not |corpus| —
+    # at 10^12 docs the difference between re-shingling the corpus and
+    # touching only the near-dup suspects
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("id"))
+        .unionByName(cands.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
     ds = (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(norm_text(text_col))).alias("sh"))
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", F.explode(shingles(norm_text(text_col))).alias("sh"))
         .distinct()
     )
     sizes = ds.groupBy("id").agg(F.count("*").alias("n_sh"))
