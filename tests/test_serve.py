@@ -1,0 +1,108 @@
+"""Serving entry (S13): HTTP scoring must be byte-identical to the batch
+extractor, shed load with 429 instead of queueing unboundedly, expose
+Prometheus counters, and spool served results to parquet readable by the
+engine (no Spark needed for serving itself)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+import urllib.error
+
+import pytest
+
+from webextract.extract import extract_record
+from webextract.fixtures import gen_pages
+from webextract.serve import ExtractServer
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv = ExtractServer(spool_dir=str(tmp_path / "spool"), flush_every=2)
+    srv.start()
+    yield srv
+    srv.close()
+
+
+def _post(port: int, url: str, payload: bytes):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/extract", data=payload,
+        headers={"X-Url": url}, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _get(port: int, path: str):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/{path}", timeout=10) as resp:
+        return resp.status, resp.read().decode()
+
+
+def test_served_result_matches_batch_extractor(server):
+    for row in gen_pages(12, giant_every=0):
+        status, got = _post(server.port, row["url"], row["html"])
+        assert status == 200
+        expect = extract_record(row["url"], row["html"])
+        # identical row: same text, same span ids, same everything
+        # (modulo JSON float round-trip, exact for these values)
+        assert got["extracted_text"] == expect["extracted_text"]
+        assert got["spans"] == expect["spans"]
+        assert got["content_kind"] == expect["content_kind"]
+        assert got["error"] == expect["error"]
+
+
+def test_bad_requests(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/extract", data=b"x", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=10)
+    assert exc.value.code == 400  # missing url
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/nope", timeout=10)
+    assert exc.value.code == 404
+
+
+def test_admission_control_rejects_when_full(tmp_path):
+    srv = ExtractServer(max_pending=1)
+    srv.start()
+    try:
+        # hold the only admission slot, then a request must get 429
+        assert srv._admission.acquire(blocking=False)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/extract", data=b"<p>x</p>",
+            headers={"X-Url": "u"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 429
+        srv._admission.release()
+        # slot free again: request succeeds
+        status, _ = _post(srv.port, "u", b"<p>hello world block</p>")
+        assert status == 200
+    finally:
+        srv.close()
+
+
+def test_metrics_and_health(server):
+    _post(server.port, "u1", b"<p>some words in a block</p>")
+    status, health = _get(server.port, "healthz")
+    assert status == 200 and json.loads(health)["status"] == "ok"
+    status, metrics = _get(server.port, "metrics")
+    assert status == 200
+    assert "webextract_requests_total 1" in metrics
+    assert "webextract_inflight 0" in metrics
+
+
+def test_spool_parquet_readable(server, tmp_path):
+    pages = gen_pages(5, giant_every=0)
+    for row in pages[:4]:  # flush_every=2 -> at least 2 files
+        _post(server.port, row["url"], row["html"])
+    server.close()
+    import pyarrow.parquet as pq
+    import pathlib
+    files = list(pathlib.Path(tmp_path / "spool").glob("*.parquet"))
+    assert len(files) >= 2
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 4
+    cols = set(pq.read_table(files[0]).schema.names)
+    assert {"url", "extracted_text", "n_spans", "content_kind"} <= cols

@@ -1,0 +1,229 @@
+"""HTTP serving entry (S13): score single documents with the SAME
+extractor the cluster pipeline runs.
+
+Design mirror of the reference's Flask serving app
+(``api/flask_app.py:452-523``), re-expressed without Flask/torch:
+
+- ``POST /extract`` (body = HTML/PDF bytes, url via ``X-Url`` header or
+  ``?url=``) → JSON ``{url, extracted_text, spans, ...}`` — the same row
+  the batch pipeline emits (reference: image → PAGE-XML per request).
+- **Bounded admission** — the reference bounds its work queue with
+  ``LAYPA_MAX_QUEUE_SIZE`` and rejects when full
+  (``flask_app.py:499-503``); here a counting semaphore admits at most
+  ``max_pending`` concurrent requests and over-limit requests get
+  **429** immediately (load-shedding beats queue collapse).
+- ``GET /metrics`` — Prometheus text counters (requests/errors/inflight/
+  latency), the analog of the reference's Prometheus integration
+  (``flask_app.py:120-130``).
+- ``GET /healthz`` — liveness + config hash (provenance parity with the
+  batch path's metrics stamp).
+- **Parquet spool**: each response is also appended to an in-memory
+  buffer flushed to ``spool_dir`` as parquet every ``flush_every`` docs
+  (and on close) — the serving-time analog of the reference writing
+  PAGE-XML to its output dir, and the bridge back into the engine: the
+  spool is a valid input for Spark analysis jobs or
+  ``streaming.stream_extraction`` checkpointed ingestion.
+
+Single-worker semantics: extraction is pure CPU-bound Python, so like
+the reference's one-GPU ``ThreadPoolExecutor(max_workers=1)`` the
+default admits concurrency but serializes on the GIL; scale-out is
+horizontal (N server processes behind a balancer), exactly as the
+reference deploys (``README.md`` docker section). The cluster-scale path
+remains the batch/streaming pipeline — this endpoint is for interactive
+scoring and parity debugging.
+
+No Spark session is required: the extractor is the same pure function
+(``extract_record``) the executors run, so served results are
+byte-identical to pipeline output for the same payload + config.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .config import DEFAULT_CONFIG, ExtractConfig
+from .extract import extract_record
+
+
+class _Metrics:
+    """Tiny Prometheus-text counter registry (A7 analog)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self.rejected_total = 0
+        self.inflight = 0
+        self.latency_sum = 0.0
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE webextract_requests_total counter",
+                f"webextract_requests_total {self.requests_total}",
+                "# TYPE webextract_errors_total counter",
+                f"webextract_errors_total {self.errors_total}",
+                "# TYPE webextract_rejected_total counter",
+                f"webextract_rejected_total {self.rejected_total}",
+                "# TYPE webextract_inflight gauge",
+                f"webextract_inflight {self.inflight}",
+                "# TYPE webextract_latency_seconds_sum counter",
+                f"webextract_latency_seconds_sum {round(self.latency_sum, 6)}",
+            ]
+        return "\n".join(lines) + "\n"
+
+
+class _Spool:
+    """Buffered parquet side-output of served results (thread-safe)."""
+
+    def __init__(self, spool_dir: str | None, flush_every: int) -> None:
+        self.dir = spool_dir
+        self.flush_every = flush_every
+        self._rows: list[dict] = []
+        self._lock = threading.Lock()
+
+    def add(self, row: dict) -> None:
+        if self.dir is None:
+            return
+        with self._lock:
+            self._rows.append(row)
+            if len(self._rows) >= self.flush_every:
+                self._flush_locked()
+
+    def close(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._rows:
+            return
+        import pathlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pathlib.Path(self.dir).mkdir(parents=True, exist_ok=True)
+        table = pa.Table.from_pylist([
+            {"url": r["url"], "extracted_text": r["extracted_text"],
+             "n_spans": r["n_spans"], "content_kind": r["content_kind"],
+             "error": r["error"], "served_at": time.time()}
+            for r in self._rows
+        ])
+        name = f"served-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(table, f"{self.dir}/{name}")
+        self._rows = []
+
+
+class ExtractServer:
+    """Threaded HTTP server wrapping the pure extractor.
+
+    ``start()`` returns the bound port (pass ``port=0`` for ephemeral);
+    ``close()`` stops the server and flushes the spool.
+    """
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG,
+                 host: str = "127.0.0.1", port: int = 0,
+                 max_pending: int = 64, spool_dir: str | None = None,
+                 flush_every: int = 64) -> None:
+        self.cfg = cfg
+        self.metrics = _Metrics()
+        self.spool = _Spool(spool_dir, flush_every)
+        self._admission = threading.BoundedSemaphore(max_pending)
+        self._httpd = ThreadingHTTPServer((host, port), self._handler())
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self.spool.close()
+
+    # -- request handling -----------------------------------------------
+
+    def _extract(self, url: str, payload: bytes) -> dict:
+        t0 = time.perf_counter()
+        row = extract_record(url, payload, self.cfg)
+        m = self.metrics
+        with m._lock:
+            m.requests_total += 1
+            m.latency_sum += time.perf_counter() - t0
+            if row["error"] is not None:
+                m.errors_total += 1
+        self.spool.add(row)
+        return row
+
+    def _handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      ctype: str = "application/json") -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._send(200, json.dumps({
+                        "status": "ok",
+                        "config_hash": server.cfg.config_hash(),
+                    }).encode())
+                elif path == "/metrics":
+                    self._send(200, server.metrics.render().encode(),
+                               "text/plain; version=0.0.4")
+                else:
+                    self._send(404, b'{"error": "not found"}')
+
+            def do_POST(self) -> None:
+                parsed = urlparse(self.path)
+                if parsed.path != "/extract":
+                    self._send(404, b'{"error": "not found"}')
+                    return
+                url = self.headers.get("X-Url") or parse_qs(
+                    parsed.query).get("url", [""])[0]
+                if not url:
+                    self._send(400, b'{"error": "missing url"}')
+                    return
+                n = int(self.headers.get("Content-Length") or 0)
+                payload = self.rfile.read(n) if n else b""
+                # bounded admission: shed load instead of queueing
+                # unboundedly (reference LAYPA_MAX_QUEUE_SIZE -> 429)
+                if not server._admission.acquire(blocking=False):
+                    with server.metrics._lock:
+                        server.metrics.rejected_total += 1
+                    self._send(429, b'{"error": "queue full"}')
+                    return
+                with server.metrics._lock:
+                    server.metrics.inflight += 1
+                try:
+                    row = server._extract(url, payload)
+                    body = json.dumps(row).encode()
+                    self._send(200, body)
+                finally:
+                    with server.metrics._lock:
+                        server.metrics.inflight -= 1
+                    server._admission.release()
+
+        return Handler
