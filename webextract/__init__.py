@@ -34,6 +34,12 @@ Layout:
 - :mod:`webextract.functions`    — training-data-pipeline column functions:
   dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
   similarity search, text analysis, multimodal stubs.
+- :mod:`webextract.streaming`    — Structured Streaming ingest: exactly-once
+  checkpointed extraction, stateful first-seen dedup, watermarked rates.
+- :mod:`webextract.golden`       — golden-encode regression harness
+  (byte-identical text/span asserts, A/B across code versions).
+- :mod:`webextract.serve`        — HTTP scoring entry (bounded admission,
+  Prometheus metrics, parquet spool) over the same extractor.
 """
 
 __version__ = "0.1.0"

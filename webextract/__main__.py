@@ -75,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default=None)
     p.add_argument("--partition-by-date", action="store_true",
                    help="hive-partition the sink by warc_date (crawl day)")
+    p.add_argument("--sink-format", default="parquet",
+                   choices=("parquet", "iceberg"),
+                   help="sink provider; iceberg requires --sink-table and "
+                        "an Iceberg catalog on the session")
+    p.add_argument("--sink-table", action="store_true",
+                   help="treat --output as a catalog table identifier "
+                        "instead of a filesystem path")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -84,7 +91,9 @@ def main(argv: list[str] | None = None) -> int:
     cfg = load_config(args.config)
     opts = PipelineOptions(num_partitions=args.partitions,
                            giant_bytes=args.giant_bytes,
-                           scan_mode=args.scan_mode)
+                           scan_mode=args.scan_mode,
+                           sink_format=args.sink_format,
+                           sink_is_table=args.sink_table)
     pages = read_pages(spark, args.input)
     summary = run_extraction(spark, pages, args.output,
                              metrics_path=args.metrics, cfg=cfg, opts=opts,
