@@ -274,6 +274,15 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_curated_docs(spark, sf_dir):
+    # the composed training-data curation pipeline: quality gate ->
+    # exact dedup keep-first -> near-dup drop (greedy keep-lowest)
+    from webextract.functions.curate import curate_corpus
+
+    return curate_corpus(_dup_corpus(spark, sf_dir), min_quality=0.5,
+                         threshold=0.8)
+
+
 def q_block_scores(spark, sf_dir):
     # S8 debug-sink analog: per-block features + classifier decision,
     # including dropped boilerplate (threshold-tuning surface)
@@ -356,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_confusion": q_events_confusion,
         "events_iou": q_events_iou,
         "events_windowed": q_events_windowed,
+        "curated_docs": q_curated_docs,
         "block_scores": q_block_scores,
         "media_features": q_media_features,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -648,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n WHERE length(norm) > 0
         """,
         "media_features": _media_sql(),
+        "curated_docs": _curate_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         # extract_fixture_pages: no oracle — fixture-generated HTML/PDF
@@ -730,6 +741,80 @@ def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
                    / sqrt(p.pnsq * a.nsq), 4) AS cos_sim
       FROM a JOIN p ON a.cluster = p.cluster AND a.vec_id <> p.probe_id),
     {_ANN_RANK}
+    """
+
+
+def _curate_sql(min_quality: float = 0.5, threshold: float = 0.8) -> str:
+    """Mirror of functions.curate.curate_corpus over the duplicated
+    corpus: quality gate -> keep-first exact dedup -> LSH-candidate
+    near-dup verify -> drop the higher id of every passing pair."""
+    from webextract.functions.text import STOPWORDS
+
+    stop_hits = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in STOPWORDS)
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM corpus),
+    t AS (SELECT doc_id, norm, ' ' || norm || ' ' AS p,
+                 CASE WHEN length(norm) = 0 THEN 0
+                      ELSE len(string_split(norm, ' ')) END AS n_tokens
+          FROM n),
+    f AS (SELECT doc_id, norm, n_tokens, ({stop_hits}) AS n_stop FROM t),
+    r AS (SELECT doc_id, norm, n_tokens,
+                 ROUND(CASE WHEN n_tokens > 0
+                            THEN n_stop / CAST(n_tokens AS DOUBLE)
+                            ELSE 0.0 END, 6) AS stop_ratio
+          FROM f),
+    q AS (SELECT doc_id, norm, n_tokens,
+                 ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0
+                             WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END
+                        + LEAST(stop_ratio * 4, 1.0)) / 2, 6)
+                   AS quality_score,
+                 md5(norm) AS fingerprint
+          FROM r),
+    p AS (SELECT * FROM q WHERE quality_score >= {min_quality}),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM p GROUP BY fingerprint),
+    s0 AS (SELECT p.* FROM p JOIN keep USING (doc_id)),
+    tok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM s0),
+    s AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END AS sh
+          FROM tok),
+    sig AS (SELECT doc_id, {_sql_minhash_select()} FROM s),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || CAST(mh0 AS VARCHAR) || '|'
+                         || CAST(mh1 AS VARCHAR)) AS band_key
+      FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || CAST(mh2 AS VARCHAR) || '|'
+                         || CAST(mh3 AS VARCHAR))
+      FROM sig WHERE mh0 IS NOT NULL),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+    ds AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS sh FROM s),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN ds a ON a.id = c.doc_a
+      JOIN ds b ON b.id = c.doc_b AND a.sh = b.sh
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON c.doc_a = sa.id
+      JOIN sizes sb ON c.doc_b = sb.id
+      WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+            >= {threshold})
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
+           fingerprint
+    FROM s0
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
     """
 
 

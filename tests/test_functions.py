@@ -227,6 +227,31 @@ def test_ivf_ann_recall_and_exact_scores(spark):
         assert recall >= 0.3, (name, recall)  # 3/8 clusters searched
 
 
+def test_curate_corpus_stages(spark):
+    from webextract.functions.curate import curate_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "a field of tall green grass while the sun is warm and the "
+            "wind is soft in the valley near the river bend where birds "
+            "sing")
+    neardup = base.rsplit(" ", 1)[0] + " hum"  # one word differs
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),     # exact dup -> keep-first drops it
+        Row(doc_id=3, text=neardup),  # near dup (jaccard > 0.8) -> dropped
+        Row(doc_id=4, text="ab cd"),  # 2 tokens -> quality 0 -> filtered
+    ]
+    out = curate_corpus(spark.createDataFrame(rows),
+                        min_quality=0.3, threshold=0.8).collect()
+    assert [(r["doc_id"], r["n_tokens"], r["quality_score"]) for r in out] \
+        == [(1, 38, 1.0)]
+    # determinism: id order flipped -> the new lowest id survives
+    flipped = [Row(doc_id=9, text=base), Row(doc_id=5, text=base)]
+    out2 = curate_corpus(spark.createDataFrame(flipped),
+                         min_quality=0.3, threshold=0.8).collect()
+    assert [r["doc_id"] for r in out2] == [5]
+
+
 def test_ivf_unknown_quantizer_rejected(spark):
     from webextract.functions.similarity import ivf_ann_topk
 
