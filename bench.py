@@ -53,7 +53,7 @@ HEADLINE = [
     "knn_cosine",
     "lang_id", "quality_scores", "token_counts_by_source",
     "events_confusion", "events_windowed", "media_features",
-    "ann_lsh_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "ann_ivf_topk", "curated_docs",
 ]
 
 # the near-dup family is timed as the staged pipeline it is in production
@@ -371,10 +371,25 @@ def write_bench_md(scaling: dict, timings: dict[str, float]) -> None:
     (REPO / "BENCH.md").write_text("\n".join(lines))
 
 
+# soft wall-clock budget for the whole bench: re-measure retries are
+# skipped once it is spent, so a congested host window degrades the
+# recorded numbers instead of stretching the run indefinitely
+DEADLINE_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1800"))
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
         return
+    t_start = time.time()
+
+    def budget_left() -> bool:
+        if time.time() - t_start < DEADLINE_SEC:
+            return True
+        print("[bench] deadline spent; skipping further re-measures",
+              file=sys.stderr)
+        return False
+
     ensure_bench_pages()
     settle()
     ceiling = cpu_ceiling_probe()
@@ -392,7 +407,7 @@ def main() -> None:
     # plausibility retry: >1.05 or <0.3 means a contention spike hit one
     # side of the pair on this shared VM — re-measure that pair once
     for lo, hi in ((4, 16), (8, 32)):
-        if not 0.3 <= eff(lo, hi) <= 1.05:
+        if not 0.3 <= eff(lo, hi) <= 1.05 and budget_left():
             print(f"[bench] implausible {lo}->{hi} efficiency "
                   f"{eff(lo, hi)}; re-measuring pair", file=sys.stderr)
             too_low = eff(lo, hi) < 0.3
@@ -412,7 +427,7 @@ def main() -> None:
     # a min-of-2 ratio below the quiet-box value (inflation is capped by
     # the 1.05 plausibility bound), so if the pair lands under the target
     # re-measure once after settling and keep the better window.
-    if eff(4, 16) < 0.82:
+    if eff(4, 16) < 0.82 and budget_left():
         print(f"[bench] 4->16 efficiency {eff(4, 16)} below target; "
               "re-measuring pair in a fresh window", file=sys.stderr)
         prev4, prev16, prev_eff = runs[4], runs[16], eff(4, 16)

@@ -35,12 +35,23 @@ from .text import with_text_features
 
 def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", min_quality: float = 0.3,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  persist_survivors: bool = True) -> DataFrame:
     """corpus → surviving documents after quality + exact + near-dup.
 
     Returns (id, n_tokens, quality_score, fingerprint) for every
     surviving document. Deterministic: survivors depend only on content
     and ids, never on partitioning or execution order.
+
+    ``persist_survivors`` materializes the exact-dedup survivor set,
+    which the near-dup stage consumes THREE times (shingle derivation,
+    pair verification, final anti-join) — without it the whole
+    feature+dedup subtree recomputes per consumer (measured ~3x wall on
+    the fused plan). Same session-cache contract as
+    :func:`webextract.functions.dedup.lsh_candidate_pairs`: right for
+    one-shot jobs; in long-lived sessions pass False and materialize the
+    stage to a table instead (the at-scale shape — each curation stage
+    is a stored checkpoint of a 10^12-doc run anyway).
     """
     feats = with_text_features(docs)
     passing = feats.filter(F.col("quality_score") >= min_quality)
@@ -48,6 +59,10 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     keep = passing.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     exact_survivors = passing.join(
         keep.select(id_col), id_col, "left_semi")
+    if persist_survivors:
+        exact_survivors = exact_survivors.select(
+            id_col, text_col, "n_tokens", "quality_score", "fingerprint"
+        ).persist()
     # near-dup drop: higher id of every verified pair is removed
     pairs = near_duplicate_docs(
         exact_survivors.select(F.col(id_col), F.col(text_col)),
