@@ -299,6 +299,15 @@ def headline_runs() -> dict[str, float]:
     settle()  # the scaling burst leaves minutes of decaying load
     spark = make_session(CPUS)
     ship_package(spark)
+    # untimed session warm-up: python workers fork + import and the hot
+    # stages JIT on the first Arrow job (~5 s) — without this the FIRST
+    # headline query absorbs session startup instead of measuring itself
+    from webextract.fixtures import pages_dataframe
+    from webextract.pipeline import PipelineOptions, extract_dataframe
+
+    noop_write(extract_dataframe(
+        pages_dataframe(spark, 2000, num_partitions=CPUS, giant_every=0),
+        opts=PipelineOptions(num_partitions=CPUS)))
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
