@@ -184,6 +184,15 @@ def q_near_dup_docs(spark, sf_dir):
     return near_duplicate_docs(_dup_corpus(spark, sf_dir), threshold=0.8)
 
 
+def q_dup_groups(spark, sf_dir):
+    # transitive duplicate grouping: connected components (iterative
+    # min-label propagation, all joins id-keyed) over the verified pairs
+    from webextract.functions.dedup import duplicate_groups
+
+    return duplicate_groups(
+        near_duplicate_docs(_dup_corpus(spark, sf_dir), threshold=0.8))
+
+
 def q_knn_cosine(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=3)
@@ -283,6 +292,15 @@ def q_curated_docs(spark, sf_dir):
                          threshold=0.8)
 
 
+def q_curated_docs_transitive(spark, sf_dir):
+    # cluster-consistent curation: one survivor per connected component
+    # of verified near-dup pairs (vs the greedy pairwise drop above)
+    from webextract.functions.curate import curate_corpus
+
+    return curate_corpus(_dup_corpus(spark, sf_dir), min_quality=0.5,
+                         threshold=0.8, transitive=True)
+
+
 def q_block_scores(spark, sf_dir):
     # S8 debug-sink analog: per-block features + classifier decision,
     # including dropped boilerplate (threshold-tuning surface)
@@ -355,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_docs": q_near_dup_docs,
+        "dup_groups": q_dup_groups,
         "knn_cosine": q_knn_cosine,
         "near_dup_embeddings": q_near_dup_embeddings,
         "lang_id": q_lang_id,
@@ -366,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_iou": q_events_iou,
         "events_windowed": q_events_windowed,
         "curated_docs": q_curated_docs,
+        "curated_docs_transitive": q_curated_docs_transitive,
         "block_scores": q_block_scores,
         "media_features": q_media_features,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -404,6 +424,59 @@ def _sql_simhash() -> str:
     v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
     SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM v
     """
+
+
+def _sql_neardup_ctes(threshold: float = 0.8) -> str:
+    """CTE chain shingles→sig→bands→cands→verify→pairs, assuming a CTE
+    ``s(doc_id, sh)`` is already in scope — shared by the near_dup_docs,
+    dup_groups and curated_docs oracles (mirror of
+    dedup.near_duplicate_docs)."""
+    return f"""
+    sig AS (SELECT doc_id, {_sql_minhash_select()} FROM s),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || CAST(mh0 AS VARCHAR) || '|'
+                         || CAST(mh1 AS VARCHAR)) AS band_key
+      FROM sig WHERE mh0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || CAST(mh2 AS VARCHAR) || '|'
+                         || CAST(mh3 AS VARCHAR))
+      FROM sig WHERE mh0 IS NOT NULL),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+    ds AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS sh FROM s),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN ds a ON a.id = c.doc_a
+      JOIN ds b ON b.id = c.doc_b AND a.sh = b.sh
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+      FROM common c
+      JOIN sizes sa ON c.doc_a = sa.id
+      JOIN sizes sb ON c.doc_b = sb.id
+      WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+            >= {threshold})
+    """
+
+
+# connected components over verified pairs: min reachable id per node —
+# DuckDB's recursive CTE is the exact oracle of the iterative min-label
+# propagation in dedup.duplicate_groups
+_SQL_GROUPS_TAIL = """
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (SELECT src AS id, src AS label FROM edges
+              UNION
+              SELECT e.dst AS id, r.label
+              FROM reach r JOIN edges e ON e.src = r.id),
+    grp AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id)
+"""
 
 
 def _sql_iou() -> str:
@@ -534,34 +607,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_docs": f"""
             WITH corpus AS ({_CORPUS_SQL}), {_SHINGLE_SQL},
-            sig AS (SELECT doc_id, {_sql_minhash_select()} FROM s),
-            bands AS (
-              SELECT doc_id, md5('0' || '|' || CAST(mh0 AS VARCHAR) || '|'
-                                 || CAST(mh1 AS VARCHAR)) AS band_key
-              FROM sig WHERE mh0 IS NOT NULL
-              UNION ALL
-              SELECT doc_id, md5('1' || '|' || CAST(mh2 AS VARCHAR) || '|'
-                                 || CAST(mh3 AS VARCHAR))
-              FROM sig WHERE mh0 IS NOT NULL),
-            cands AS (
-              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-              FROM bands x JOIN bands y
-                ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
-            ds AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS sh FROM s),
-            sizes AS (SELECT id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
-            common AS (
-              SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-              FROM cands c
-              JOIN ds a ON a.id = c.doc_a
-              JOIN ds b ON b.id = c.doc_b AND a.sh = b.sh
-              GROUP BY 1, 2)
-            SELECT c.doc_a, c.doc_b,
-                   ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
-                     AS jaccard
-            FROM common c
-            JOIN sizes sa ON c.doc_a = sa.id
-            JOIN sizes sb ON c.doc_b = sb.id
-            WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+            {_sql_neardup_ctes(0.8)}
+            SELECT doc_a, doc_b, jaccard FROM pairs
+        """,
+        "dup_groups": f"""
+            WITH RECURSIVE corpus AS ({_CORPUS_SQL}), {_SHINGLE_SQL},
+            {_sql_neardup_ctes(0.8)},
+            {_SQL_GROUPS_TAIL}
+            SELECT id AS doc_id, group_id FROM grp
         """,
         "knn_cosine": """
             WITH e AS (SELECT vec_id,
@@ -659,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_sql(),
         "curated_docs": _curate_sql(),
+        "curated_docs_transitive": _curate_sql(transitive=True),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         # extract_fixture_pages: no oracle — fixture-generated HTML/PDF
@@ -744,17 +798,29 @@ def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
     """
 
 
-def _curate_sql(min_quality: float = 0.5, threshold: float = 0.8) -> str:
+def _curate_sql(min_quality: float = 0.5, threshold: float = 0.8,
+                transitive: bool = False) -> str:
     """Mirror of functions.curate.curate_corpus over the duplicated
     corpus: quality gate -> keep-first exact dedup -> LSH-candidate
-    near-dup verify -> drop the higher id of every passing pair."""
+    near-dup verify -> drop (greedy higher-id, or cluster-transitive
+    non-representatives when ``transitive``)."""
     from webextract.functions.text import STOPWORDS
 
     stop_hits = " + ".join(
         f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
         for w in STOPWORDS)
+    if transitive:
+        tail = (f", {_SQL_GROUPS_TAIL} "
+                "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+                "quality_score, fingerprint FROM s0 "
+                "WHERE doc_id NOT IN "
+                "(SELECT id FROM grp WHERE id <> group_id)")
+    else:
+        tail = ("SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+                "quality_score, fingerprint FROM s0 "
+                "WHERE doc_id NOT IN (SELECT doc_b FROM pairs)")
     return f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
     n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM corpus),
     t AS (SELECT doc_id, norm, ' ' || norm || ' ' AS p,
                  CASE WHEN length(norm) = 0 THEN 0
@@ -783,38 +849,8 @@ def _curate_sql(min_quality: float = 0.5, threshold: float = 0.8) -> str:
                                      i -> array_to_string(toks[i:i+2], ' '))
                  ELSE [] END AS sh
           FROM tok),
-    sig AS (SELECT doc_id, {_sql_minhash_select()} FROM s),
-    bands AS (
-      SELECT doc_id, md5('0' || '|' || CAST(mh0 AS VARCHAR) || '|'
-                         || CAST(mh1 AS VARCHAR)) AS band_key
-      FROM sig WHERE mh0 IS NOT NULL
-      UNION ALL
-      SELECT doc_id, md5('1' || '|' || CAST(mh2 AS VARCHAR) || '|'
-                         || CAST(mh3 AS VARCHAR))
-      FROM sig WHERE mh0 IS NOT NULL),
-    cands AS (
-      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y
-        ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
-    ds AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS sh FROM s),
-    sizes AS (SELECT id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
-    common AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cands c
-      JOIN ds a ON a.id = c.doc_a
-      JOIN ds b ON b.id = c.doc_b AND a.sh = b.sh
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT c.doc_a, c.doc_b
-      FROM common c
-      JOIN sizes sa ON c.doc_a = sa.id
-      JOIN sizes sb ON c.doc_b = sb.id
-      WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
-            >= {threshold})
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
-           fingerprint
-    FROM s0
-    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    {_sql_neardup_ctes(threshold)}
+    {tail}
     """
 
 

@@ -183,10 +183,83 @@ def test_media_features_fake_decode_pins(spark):
     assert out[2]["error"] == "null payload"
 
 
-def test_media_real_backend_is_stubbed(spark):
-    df = spark.createDataFrame([Row(media_id=1, payload=b"x", kind="image")])
-    out = media_features(df, backend="real").collect()[0]
-    assert "NotImplementedError" in out["error"]
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + ihdr + b"\x00\x00\x00\x00")
+
+
+def _gif_bytes(w: int, h: int, frames: int) -> bytes:
+    import struct
+    out = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+    for _ in range(frames):
+        # image descriptor + no local table + LZW min + 1 sub-block + end
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x02\x01\x00\x00"
+    return out + b"\x3b"
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03" + b"\x01\x11\x00" * 3)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _bmp_bytes(w: int, h: int) -> bytes:
+    import struct
+    info = struct.pack("<Iii", 40, w, -h) + b"\x00" * 28  # top-down height
+    return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54) + info
+
+
+def test_media_real_backend_header_decode(spark):
+    from webextract.pipeline import ship_package
+    ship_package(spark)
+    df = spark.createDataFrame([
+        Row(media_id=1, payload=_png_bytes(640, 480), kind="image"),
+        Row(media_id=2, payload=_gif_bytes(32, 16, 3), kind="image"),
+        Row(media_id=3, payload=_jpeg_bytes(1920, 1080), kind="image"),
+        Row(media_id=4, payload=_bmp_bytes(100, 200), kind="image"),
+        Row(media_id=5, payload=b"\x00not a container", kind="image"),
+        Row(media_id=6, payload=b"\x89PNG\r\n\x1a\n\x00", kind="image"),
+    ])
+    out = {r["media_id"]: r for r in
+           media_features(df, backend="real").collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) \
+        == (640, 480, None)
+    assert (out[2]["width"], out[2]["height"], out[2]["n_frames"]) \
+        == (32, 16, 3)
+    assert (out[3]["width"], out[3]["height"]) == (1920, 1080)
+    assert (out[4]["width"], out[4]["height"]) == (100, 200)
+    assert "unsupported media container" in out[5]["error"]
+    assert "truncated PNG" in out[6]["error"]
+    for mid in (1, 2, 3, 4):
+        assert out[mid]["error"] is None
+        assert out[mid]["digest"] is not None
+
+
+def test_media_real_decode_pure_functions():
+    # parser-level pins without Spark: GIF with global color table and an
+    # extension block; JPEG with restart/fill markers before SOF2
+    from webextract.functions.multimodal import (
+        _gif_dims, _jpeg_dims, _real_decode,
+    )
+    import struct
+    gct = b"GIF89a" + struct.pack("<HH", 7, 9) + b"\x80\x00\x00" \
+        + b"\x00" * 6 \
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00" \
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 7, 9) + b"\x00" \
+        + b"\x02\x01\x00\x00" + b"\x3b"
+    assert _gif_dims(gct) == (7, 9, 1)
+    prog = (b"\xff\xd8" + b"\xff\xff"  # fill byte
+            + b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 8, 6) + b"\x03" + b"\x01\x11\x00" * 3)
+    assert _jpeg_dims(prog) == (6, 8, None)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _real_decode(b"RIFF....WAVE", "audio")
 
 
 def test_ivf_ann_recall_and_exact_scores(spark):
@@ -250,6 +323,89 @@ def test_curate_corpus_stages(spark):
     out2 = curate_corpus(spark.createDataFrame(flipped),
                          min_quality=0.3, threshold=0.8).collect()
     assert [r["doc_id"] for r in out2] == [5]
+
+
+def test_duplicate_groups_transitive(spark):
+    from webextract.functions.cache import cache_scope
+    from webextract.functions.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame([
+        Row(doc_a=3, doc_b=7), Row(doc_a=7, doc_b=9),   # chain 3~7~9
+        Row(doc_a=20, doc_b=21),                        # disjoint pair
+    ])
+    with cache_scope() as scope:
+        out = {r["doc_id"]: r["group_id"]
+               for r in duplicate_groups(pairs, scope=scope).collect()}
+    assert out == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20}
+    # empty input -> empty grouping, no crash
+    with cache_scope() as scope:
+        assert duplicate_groups(pairs.limit(0), scope=scope).count() == 0
+
+
+def test_curate_corpus_transitive_vs_greedy(spark):
+    from webextract.functions.curate import curate_corpus
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine ten")
+    words = base.split()
+    # chain a~b~c (interior one-word edits: jaccard 0.829 each) whose
+    # MIDDLE doc carries the highest id; a~c (0.684) never verifies.
+    # Greedy drops only the shared middle (doc 9, the doc_b of both
+    # pairs) and keeps BOTH chain ends; transitive collapses the whole
+    # component to its min id.
+    a = " ".join(words)
+    wb = list(words); wb[9] = "hum"
+    wc = list(wb); wc[19] = "hop"
+    rows = [Row(doc_id=1, text=a), Row(doc_id=9, text=" ".join(wb)),
+            Row(doc_id=5, text=" ".join(wc))]
+    docs = spark.createDataFrame(rows)
+    greedy = sorted(r["doc_id"] for r in curate_corpus(
+        docs, min_quality=0.3, threshold=0.8).collect())
+    transitive = sorted(r["doc_id"] for r in curate_corpus(
+        docs, min_quality=0.3, threshold=0.8, transitive=True).collect())
+    assert greedy == [1, 5]       # doc 5 survives only because its
+    assert transitive == [1]      # duplicate (9) was itself dropped
+
+
+def test_curate_corpus_staged_candidates_match_fused(spark):
+    from webextract.functions.cache import cache_scope
+    from webextract.functions.curate import curate_corpus
+    from webextract.functions.dedup import lsh_candidate_pairs, with_minhash
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "a field of tall green grass while the sun is warm and the "
+            "wind is soft in the valley near the river bend where birds "
+            "sing")
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),
+        Row(doc_id=3, text=base.rsplit(" ", 1)[0] + " hum"),
+        Row(doc_id=4, text="ab cd"),
+    ]
+    docs = spark.createDataFrame(rows)
+    with cache_scope() as scope:
+        fused = sorted(r["doc_id"] for r in curate_corpus(
+            docs, min_quality=0.3, threshold=0.8, scope=scope).collect())
+    # production shape: corpus-level candidates precomputed once, fed in
+    with cache_scope() as scope:
+        cands = scope.persist(lsh_candidate_pairs(
+            with_minhash(docs), persist_bands=False))
+        staged = sorted(r["doc_id"] for r in curate_corpus(
+            docs, min_quality=0.3, threshold=0.8, candidates=cands,
+            scope=scope).collect())
+    assert staged == fused == [1]
+
+
+def test_cache_scope_releases(spark):
+    from webextract.functions.cache import cache_scope
+
+    df = spark.range(10)
+    with cache_scope() as scope:
+        cached = scope.persist(df)
+        cached.count()
+        assert cached.storageLevel.useMemory
+    assert not cached.storageLevel.useMemory  # released on exit
 
 
 def test_ivf_unknown_quantizer_rejected(spark):

@@ -119,6 +119,21 @@ def test_script_style_head_skipped():
     assert r.text == "visible body text"
 
 
+def test_textarea_rawtext_does_not_leak():
+    # a literal "</script>" inside <textarea> must not end the skip
+    # region: only the innermost OPEN skip tag's closer counts
+    r = _run(b"<body><textarea>var x = '</script>'; leaked?</textarea>"
+             b"<p>real body text</p></body>")
+    assert r.text == "real body text"
+    # nested skip tags closed out of order unwind tolerantly
+    r = _run(b"<body><noscript><select><option>o</option></noscript>"
+             b"<p>after text</p></body>")
+    assert r.text == "after text"
+    # a stray closer of a never-opened skip tag is ignored entirely
+    r = _run(b"<body></textarea><p>normal body text</p></body>")
+    assert r.text == "normal body text"
+
+
 def test_whitespace_normalization_and_offsets():
     r = _run(b"<p>  lots   of\n\t spacing   here  </p><h2> a   header </h2>")
     assert r.text == "lots of spacing here\na header"

@@ -107,6 +107,18 @@ def test_resume_anti_join_and_idempotence(spark, pages, tmp_path):
     assert metrics.filter(F.col("config_hash").isNull()).count() == 0
 
 
+def test_flat_legacy_sink_append_refused(spark, pages, tmp_path):
+    # a sink written WITHOUT run_id partitioning (legacy flat layout)
+    # must refuse a run_id-partitioned append instead of mixing layouts
+    out_dir = str(tmp_path / "legacy")
+    extract_dataframe(pages, opts=PipelineOptions(num_partitions=3),
+                      run_id="legacy") \
+        .write.mode("overwrite").parquet(out_dir)
+    with pytest.raises(ValueError, match="run_id-partitioned"):
+        run_extraction(spark, pages, out_dir,
+                       opts=PipelineOptions(num_partitions=3))
+
+
 def test_plan_todo_no_done(spark, pages):
     assert plan_todo(pages, None).count() == N
 

@@ -83,6 +83,56 @@ def test_admission_control_rejects_when_full(tmp_path):
         srv.close()
 
 
+def test_oversized_body_rejected_before_read(tmp_path):
+    srv = ExtractServer(max_body_bytes=64)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/extract", data=b"x" * 65,
+            headers={"X-Url": "u"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 413
+        # under the cap still works
+        status, _ = _post(srv.port, "u", b"<p>small page body</p>")
+        assert status == 200
+    finally:
+        srv.close()
+
+
+def test_config_hot_swap(tmp_path):
+    from webextract.config import ExtractConfig
+
+    strict = ExtractConfig(min_region_size=10_000)  # drops every block
+    srv = ExtractServer(configs={"strict": strict})
+    srv.start()
+    try:
+        page = b"<p>plenty of ordinary body text here</p>"
+        _, before = _post(srv.port, "u", page)
+        assert before["extracted_text"]
+        # swap to the strict config by name at runtime
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/config/swap?name=strict",
+            method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            swapped = json.loads(resp.read())
+        assert swapped["active"] == "strict"
+        assert swapped["config_hash"] == strict.config_hash()
+        _, after = _post(srv.port, "u", page)
+        assert after["extracted_text"] == ""
+        # healthz reports the active name; unknown names 404
+        _, health = _get(srv.port, "healthz")
+        assert json.loads(health)["active_config"] == "strict"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/config/swap?name=nope",
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 404
+    finally:
+        srv.close()
+
+
 def test_metrics_and_health(server):
     _post(server.port, "u1", b"<p>some words in a block</p>")
     status, health = _get(server.port, "healthz")

@@ -15,10 +15,10 @@ keeps its at-scale properties:
    :func:`webextract.functions.dedup.near_duplicate_docs` (shingle work
    proportional to candidates, not corpus); for every verified pair
    ``(a < b, jaccard >= t)`` the higher id is dropped — the greedy
-   keep-lowest rule (pairwise, not transitive closure: a surviving doc
-   is one that is not the *b* of any passing pair, which at web scale is
-   the standard single-pass approximation and is fully SQL-expressible
-   for the oracle).
+   keep-lowest rule (pairwise; see
+   :func:`webextract.functions.dedup.duplicate_groups` for the
+   cluster-transitive alternative, which this pipeline uses when
+   ``transitive=True``).
 
 The whole plan is built-in expressions + the documented LSH band join —
 zero Python, one candidate-bounded shuffle chain — and has an exact
@@ -29,30 +29,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import near_duplicate_docs
+from .cache import CacheScope, resolve
+from .dedup import duplicate_groups, near_duplicate_docs
 from .text import with_text_features
 
 
 def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", min_quality: float = 0.3,
                   threshold: float = 0.8,
-                  persist_survivors: bool = True) -> DataFrame:
+                  persist_survivors: bool = True,
+                  candidates: DataFrame | None = None,
+                  transitive: bool = False,
+                  scope: CacheScope | None = None) -> DataFrame:
     """corpus → surviving documents after quality + exact + near-dup.
 
     Returns (id, n_tokens, quality_score, fingerprint) for every
     surviving document. Deterministic: survivors depend only on content
     and ids, never on partitioning or execution order.
 
+    ``candidates`` lets the production shape (signatures / candidate
+    pairs stored once per corpus snapshot) feed this pipeline instead of
+    re-deriving the MinHash stack from scratch: pass corpus-level
+    :func:`~webextract.functions.dedup.lsh_candidate_pairs` output and
+    it is narrowed to pairs whose BOTH endpoints survive the quality +
+    exact-dedup gates. A doc's band keys depend only on its own content,
+    so corpus-level candidates restricted to survivors are exactly the
+    candidates the survivor set would produce — results are identical.
+
     ``persist_survivors`` materializes the exact-dedup survivor set,
     which the near-dup stage consumes THREE times (shingle derivation,
     pair verification, final anti-join) — without it the whole
     feature+dedup subtree recomputes per consumer (measured ~3x wall on
-    the fused plan). Same session-cache contract as
-    :func:`webextract.functions.dedup.lsh_candidate_pairs`: right for
-    one-shot jobs; in long-lived sessions pass False and materialize the
-    stage to a table instead (the at-scale shape — each curation stage
-    is a stored checkpoint of a 10^12-doc run anyway).
+    the fused plan). Release contract is ``scope``
+    (:mod:`webextract.functions.cache`): ``scope=None`` leaves caches to
+    session teardown (one-shot jobs); long-lived sessions pass a
+    ``cache_scope()`` and release after the consuming action.
     """
+    sc = resolve(scope)
     feats = with_text_features(docs)
     passing = feats.filter(F.col("quality_score") >= min_quality)
     # exact dedup keep-first: the min id per fingerprint survives
@@ -60,14 +73,31 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     exact_survivors = passing.join(
         keep.select(id_col), id_col, "left_semi")
     if persist_survivors:
-        exact_survivors = exact_survivors.select(
-            id_col, text_col, "n_tokens", "quality_score", "fingerprint"
-        ).persist()
-    # near-dup drop: higher id of every verified pair is removed
+        exact_survivors = sc.persist(exact_survivors.select(
+            id_col, text_col, "n_tokens", "quality_score", "fingerprint"))
+    if candidates is not None:
+        ids = exact_survivors.select(F.col(id_col).alias("_sid"))
+        candidates = (
+            candidates
+            .join(ids, candidates["doc_a"] == ids["_sid"], "left_semi")
+            .join(ids, candidates["doc_b"] == ids["_sid"], "left_semi")
+        )
     pairs = near_duplicate_docs(
         exact_survivors.select(F.col(id_col), F.col(text_col)),
-        id_col=id_col, text_col=text_col, threshold=threshold)
-    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        id_col=id_col, text_col=text_col, threshold=threshold,
+        candidates=candidates, scope=sc)
+    if transitive:
+        # cluster-consistent drop: exactly one survivor (the min id) per
+        # connected component of verified pairs — a chain a~b~c keeps
+        # only a, even though (a,c) never verified directly
+        groups = duplicate_groups(pairs, scope=sc)
+        drops = (groups.filter(F.col("doc_id") != F.col("group_id"))
+                 .select(F.col("doc_id").alias(id_col)))
+    else:
+        # greedy pairwise drop: higher id of every verified pair is
+        # removed (single-pass; a doc can survive because its duplicate
+        # was itself dropped)
+        drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     survivors = exact_survivors.join(drops, id_col, "left_anti")
     return survivors.select(
         F.col(id_col), F.col("n_tokens"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .cache import CacheScope, resolve
 from .text import norm_text
 
 N_MINHASH = 4
@@ -99,7 +100,8 @@ def with_minhash(docs: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = N_MINHASH,
                         band_size: int = 2,
-                        persist_bands: bool = True) -> DataFrame:
+                        persist_bands: bool = True,
+                        scope: CacheScope | None = None) -> DataFrame:
     """Band the signatures and self-join per band → candidate pairs (a<b).
 
     Each band key is a hash of ``band_size`` consecutive minhashes; docs
@@ -110,12 +112,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     ``persist_bands`` cache contract: the default materializes the band
     table once so the self-join does not recompute the whole
     shingle→md5→minhash subtree per join side (measured ~1.4x on a fused
-    plan; Spark does not exchange-reuse across the rename). The cache
-    stays registered in the session until ``spark.catalog.clearCache()``
-    — right for one-shot jobs. In a long-lived session, or when
-    ``signatures`` is already materialized (a column in the corpus table,
-    a cached DataFrame — the at-scale shape), pass ``persist_bands=False``:
-    recomputing the banding over materialized signatures is just an md5.
+    plan; Spark does not exchange-reuse across the rename). With
+    ``scope=None`` the cache lives until ``spark.catalog.clearCache()``
+    or session stop — right for one-shot jobs; long-lived sessions pass
+    a :class:`~webextract.functions.cache.CacheScope` (via
+    ``cache_scope()``) and release deterministically after the consuming
+    action. When ``signatures`` is already materialized (a column in the
+    corpus table, a cached DataFrame — the at-scale shape), pass
+    ``persist_bands=False``: recomputing the banding over materialized
+    signatures is just an md5.
     """
     assert n_hashes % band_size == 0
     bands = []
@@ -131,7 +136,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     for other in bands[1:]:
         all_bands = all_bands.unionByName(other)
     if persist_bands:
-        all_bands = all_bands.persist()
+        all_bands = resolve(scope).persist(all_bands)
     left = all_bands.select(F.col(id_col).alias("doc_a"), "band_key")
     right = all_bands.select(F.col(id_col).alias("doc_b"), "band_key")
     return (
@@ -221,10 +226,108 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
+                     scope: CacheScope | None = None) -> DataFrame:
+    """Transitive duplicate grouping: connected components over verified
+    near-dup pairs → (doc_id, group_id), group_id = MIN doc id in the
+    component (the canonical representative, same keep-lowest convention
+    as exact dedup).
+
+    Iterative min-label propagation with pointer jumping — every join is
+    keyed on doc id, no driver-side graph state, so it scales like any
+    id-keyed shuffle chain. Each round does (a) neighbor-min: a node
+    adopts the smallest label among itself and its neighbors, and (b)
+    pointer jump: ``label ← label(label)``, which makes convergence
+    O(log diameter) instead of O(diameter). Labels only decrease, so the
+    sum of labels is a strictly decreasing convergence witness: one
+    1-row aggregate per round (the standard driver-side loop of
+    iterative Spark algorithms — the per-round data stays distributed).
+
+    Duplicate clusters in web corpora are near-cliques (diameter ≤ 3 in
+    practice), so this converges in 2–3 rounds; ``max_iter`` is a
+    safety bound, and non-convergence raises instead of returning a
+    partially-merged grouping.
+
+    Each round's labels are materialized with ``localCheckpoint`` —
+    the pointer-jump self-join references the previous round TWICE, so
+    an un-truncated lineage doubles per round (exponential plan growth
+    OOMs the driver long before the data does). On a real cluster with
+    executor loss, point ``spark.sparkContext.setCheckpointDir`` at
+    durable storage and swap in ``checkpoint`` — same plan shape.
+    """
+    sc = resolve(scope)
+    fwd = pairs.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst"))
+    edges = sc.persist(
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"))).distinct())
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is None:  # no pairs at all
+        return labels.select(F.col("id").alias("doc_id"),
+                             F.col("label").alias("group_id"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst").agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("dst", "id")
+        )
+        stepped = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least(
+                F.col("label"),
+                F.coalesce("nlabel", F.col("label"))).alias("label"))
+        )
+        # pointer jump: labels are always existing node ids, so the
+        # inner self-join is total
+        ptr = stepped.select(F.col("id").alias("pid"),
+                             F.col("label").alias("plabel"))
+        labels = (
+            stepped.join(ptr, stepped["label"] == ptr["pid"])
+            .select("id", F.col("plabel").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"duplicate_groups did not converge in {max_iter} rounds")
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("group_id"))
+
+
+def candidate_doc_shingles(docs: DataFrame, cands: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Distinct (id, sh) shingle relation for the docs that appear in a
+    candidate-pair set. The semi-join before the explode keeps the
+    expensive shingle materialization proportional to |candidates|
+    (~linear for web text), not |corpus| — at 10^12 docs the difference
+    between re-shingling the corpus and touching only the suspects."""
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("id"))
+        .unionByName(cands.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", F.explode(shingles(norm_text(text_col))).alias("sh"))
+        .distinct()
+    )
+
+
 def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         threshold: float = 0.8,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        scope: CacheScope | None = None) -> DataFrame:
     """The composed at-scale near-dup pipeline: MinHash → LSH banding →
     exact Jaccard verification on the candidate pairs only.
 
@@ -239,25 +342,26 @@ def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
     when the pipeline already materialized it (signatures and candidate
     pairs are stored stages in a production dedup run, computed once per
     corpus snapshot, not per downstream consumer).
+
+    Two relations here have multiple consumers and are persisted so Spark
+    does not recompute their subtrees per consumer: the candidate pairs
+    (semi-join id set + the verify join) and the candidate-doc shingle
+    relation (sizes + both sides of the common-shingle join — measured
+    ~4x wall on the unfused plan at sf0.1). Release contract is
+    ``scope``: see :mod:`webextract.functions.cache`.
     """
-    cands = candidates if candidates is not None else lsh_candidate_pairs(
-        with_minhash(docs, id_col, text_col), id_col=id_col)
-    # verify only needs the CANDIDATE docs' shingle sets: a semi-join
-    # before the explode keeps the expensive shingle materialization
-    # proportional to |candidates| (~linear for web text), not |corpus| —
-    # at 10^12 docs the difference between re-shingling the corpus and
-    # touching only the near-dup suspects
-    cand_ids = (
-        cands.select(F.col("doc_a").alias("id"))
-        .unionByName(cands.select(F.col("doc_b").alias("id")))
-        .distinct()
-    )
-    ds = (
-        docs.select(F.col(id_col).alias("id"), F.col(text_col))
-        .join(cand_ids, "id", "left_semi")
-        .select("id", F.explode(shingles(norm_text(text_col))).alias("sh"))
-        .distinct()
-    )
+    sc = resolve(scope)
+    if candidates is not None:
+        cands = candidates
+    else:
+        # fused path: the candidate set feeds both the shingle semi-join
+        # and the verify join; unmaterialized, each consumer would
+        # recompute the whole minhash+band self-join subtree
+        cands = sc.persist(lsh_candidate_pairs(
+            with_minhash(docs, id_col, text_col), id_col=id_col,
+            scope=sc))
+    ds = sc.persist(
+        candidate_doc_shingles(docs, cands, id_col, text_col))
     sizes = ds.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = ds.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = ds.select(F.col("id").alias("_id_b"), F.col("sh").alias("sh_b"))

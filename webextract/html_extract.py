@@ -147,14 +147,19 @@ class _BlockBuilder:
     pages, CDATA, entity soup and deep nesting must all parse without error.
     """
 
-    __slots__ = ("blocks", "_cur", "_block_stack", "_skip_depth",
+    __slots__ = ("blocks", "_cur", "_block_stack", "_skip_stack",
                  "_anchor_depth", "_marginal_depth")
 
     def __init__(self) -> None:
         self.blocks: list[Block] = []
         self._cur: Block | None = None
         self._block_stack: list[str] = []
-        self._skip_depth = 0
+        # stack of OPEN skip-content tags: a stray closer of a skip tag
+        # that is not actually open (e.g. a literal "</script>" inside a
+        # <textarea> code sample) must not end the skip region — a bare
+        # depth counter shared across all skip tags leaked the rest of
+        # the textarea body into extracted text
+        self._skip_stack: list[str] = []
         self._anchor_depth = 0
         self._marginal_depth = 0
 
@@ -173,9 +178,9 @@ class _BlockBuilder:
     def start_tag(self, tag: str) -> None:
         if tag in SKIP_CONTENT_TAGS:
             self.flush()
-            self._skip_depth += 1
+            self._skip_stack.append(tag)
             return
-        if self._skip_depth:
+        if self._skip_stack:
             return
         if tag == "a":
             self._anchor_depth += 1
@@ -189,11 +194,18 @@ class _BlockBuilder:
 
     def end_tag(self, tag: str) -> None:
         if tag in SKIP_CONTENT_TAGS:
-            if self._skip_depth:
-                self._skip_depth -= 1
+            stack = self._skip_stack
+            if stack and stack[-1] == tag:
+                stack.pop()
+            elif tag in stack:
+                # tolerant unwind to the matching open skip tag (same
+                # convention as the block stack); a closer of a skip tag
+                # that is NOT open is ignored — it is raw content
+                while stack and stack.pop() != tag:
+                    pass
             self.flush()
             return
-        if self._skip_depth:
+        if self._skip_stack:
             return
         if tag == "a":
             if self._anchor_depth:
@@ -217,7 +229,7 @@ class _BlockBuilder:
                         break
 
     def data(self, data: str) -> None:
-        if self._skip_depth or not data:
+        if self._skip_stack or not data:
             return
         if self._cur is None:
             tag = self._block_stack[-1] if self._block_stack else "body"

@@ -312,6 +312,23 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
                 f"{'IS' if existing_dated else 'is NOT'} date-partitioned "
                 f"but partition_by_date={partition_by_date}; appending "
                 "across layouts silently hides the new files from reads")
+        # same guard for the run_id level: appending run_id= directories
+        # into a sink whose data files sit flat at the root (pre-run_id
+        # layout, or run_id stored as a DATA column) produces a mix that
+        # partition discovery rejects or mis-reads. One metadata-sized
+        # probe row, not a scan.
+        if not opts.sink_is_table:
+            probe = existing.select(
+                F.input_file_name().alias("f")).limit(1).first()
+            if "run_id" not in existing.columns or (
+                    probe is not None and "/run_id=" not in probe["f"]):
+                raise ValueError(
+                    f"output layout mismatch at {output_path}: existing "
+                    "sink is not run_id-partitioned; appending the "
+                    "run_id-partitioned layout would mix root data files "
+                    "with run_id= directories. Rewrite the old sink with "
+                    ".partitionBy(..., 'run_id') or point output_path at "
+                    "a fresh location")
     todo = plan_todo(pages, done)
     # run_id is the LAST partition level of every sink layout: the metrics
     # read-back below prunes to exactly this run's files at plan time

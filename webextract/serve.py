@@ -129,13 +129,40 @@ class ExtractServer:
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG,
                  host: str = "127.0.0.1", port: int = 0,
                  max_pending: int = 64, spool_dir: str | None = None,
-                 flush_every: int = 64) -> None:
-        self.cfg = cfg
+                 flush_every: int = 64,
+                 max_body_bytes: int = 32 * 1024 * 1024,
+                 configs: dict[str, ExtractConfig] | None = None) -> None:
+        # named config registry + runtime hot-swap (the reference swaps
+        # models by name at runtime, api/flask_app.py:76-110): the active
+        # config is read once per request under the lock, so an in-flight
+        # request finishes on the config it was admitted with
+        self.configs = {"default": cfg, **(configs or {})}
+        self._active = "default"
+        self._cfg_lock = threading.Lock()
+        self.max_body_bytes = max_body_bytes
         self.metrics = _Metrics()
         self.spool = _Spool(spool_dir, flush_every)
         self._admission = threading.BoundedSemaphore(max_pending)
         self._httpd = ThreadingHTTPServer((host, port), self._handler())
         self._thread: threading.Thread | None = None
+
+    @property
+    def cfg(self) -> ExtractConfig:
+        with self._cfg_lock:
+            return self.configs[self._active]
+
+    @property
+    def active_config(self) -> str:
+        with self._cfg_lock:
+            return self._active
+
+    def swap_config(self, name: str) -> ExtractConfig:
+        """Switch the active config to a registered name (hot-swap)."""
+        with self._cfg_lock:
+            if name not in self.configs:
+                raise KeyError(name)
+            self._active = name
+            return self.configs[name]
 
     @property
     def port(self) -> int:
@@ -158,7 +185,8 @@ class ExtractServer:
 
     def _extract(self, url: str, payload: bytes) -> dict:
         t0 = time.perf_counter()
-        row = extract_record(url, payload, self.cfg)
+        cfg = self.cfg  # one registry read; stable for this request
+        row = extract_record(url, payload, cfg)
         m = self.metrics
         with m._lock:
             m.requests_total += 1
@@ -188,7 +216,14 @@ class ExtractServer:
                 if path == "/healthz":
                     self._send(200, json.dumps({
                         "status": "ok",
+                        "active_config": server.active_config,
                         "config_hash": server.cfg.config_hash(),
+                    }).encode())
+                elif path == "/configs":
+                    self._send(200, json.dumps({
+                        "active": server.active_config,
+                        "configs": {n: c.config_hash()
+                                    for n, c in server.configs.items()},
                     }).encode())
                 elif path == "/metrics":
                     self._send(200, server.metrics.render().encode(),
@@ -198,6 +233,18 @@ class ExtractServer:
 
             def do_POST(self) -> None:
                 parsed = urlparse(self.path)
+                if parsed.path == "/config/swap":
+                    name = parse_qs(parsed.query).get("name", [""])[0]
+                    try:
+                        cfg = server.swap_config(name)
+                    except KeyError:
+                        self._send(404, json.dumps(
+                            {"error": f"unknown config {name!r}"}).encode())
+                        return
+                    self._send(200, json.dumps({
+                        "active": name,
+                        "config_hash": cfg.config_hash()}).encode())
+                    return
                 if parsed.path != "/extract":
                     self._send(404, b'{"error": "not found"}')
                     return
@@ -206,8 +253,19 @@ class ExtractServer:
                 if not url:
                     self._send(400, b'{"error": "missing url"}')
                     return
+                # size gate + admission BEFORE reading the body: with one
+                # thread per connection, max_pending must bound MEMORY as
+                # well as concurrency — a shed or oversized request must
+                # never buffer its payload
                 n = int(self.headers.get("Content-Length") or 0)
-                payload = self.rfile.read(n) if n else b""
+                if n <= 0 and self.headers.get("Transfer-Encoding"):
+                    self._send(411, b'{"error": "length required"}')
+                    return
+                if n > server.max_body_bytes:
+                    with server.metrics._lock:
+                        server.metrics.rejected_total += 1
+                    self._send(413, b'{"error": "payload too large"}')
+                    return
                 # bounded admission: shed load instead of queueing
                 # unboundedly (reference LAYPA_MAX_QUEUE_SIZE -> 429)
                 if not server._admission.acquire(blocking=False):
@@ -218,6 +276,7 @@ class ExtractServer:
                 with server.metrics._lock:
                     server.metrics.inflight += 1
                 try:
+                    payload = self.rfile.read(n) if n else b""
                     row = server._extract(url, payload)
                     body = json.dumps(row).encode()
                     self._send(200, body)
