@@ -344,19 +344,27 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+_FIXTURE_N = 1000          # sf-independent: the sweep is synthetic anyway
+_FIXTURE_GIANT_EVERY = 500
+
+
 def q_extract_fixture_pages(spark, sf_dir):
-    # rows-only check over the synthetic fixture sweep (giant-blob skew,
-    # PDFs, encodings); canon-safe scalar projection — array<struct>
-    # columns are exercised by extract_spans/extract_line_spans instead
+    # invariant projection over the synthetic fixture sweep (giant-blob
+    # skew, PDFs, encodings, pathological markup): url / content_kind /
+    # error / has_spans / is_giant are all CLOSED-FORM in the generator
+    # parameters (template = idx % 10; template 5 indices are ≡5 mod 10
+    # hence idx%5==0 → always the empty variant; giants are exactly
+    # idx % giant_every == 8), so DuckDB can re-derive them from
+    # range(n) without parsing any HTML — an exact oracle for the sweep.
+    # Span/text VALUES are covered by the byte-identical golden suite.
     ship_package(spark)
-    n = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(
-        sf_dir.rstrip("/").rsplit("/", 1)[-1], 500)
-    pages = pages_dataframe(spark, n, num_partitions=8,
-                            giant_every=500, giant_repeat=5000,
-                            body_scale=10)
+    pages = pages_dataframe(spark, _FIXTURE_N, num_partitions=8,
+                            giant_every=_FIXTURE_GIANT_EVERY,
+                            giant_repeat=5000, body_scale=10)
     return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8)) \
-        .select("url", "n_spans", "mean_confidence", "content_kind",
-                "n_bytes_in", "error")
+        .select("url", "content_kind", "error",
+                (F.col("n_spans") > 0).alias("has_spans"),
+                (F.col("n_bytes_in") > 100_000).alias("is_giant"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -715,9 +723,23 @@ def oracle_sql() -> dict[str, str]:
         "curated_docs_transitive": _curate_sql(transitive=True),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
-        # extract_fixture_pages: no oracle — fixture-generated HTML/PDF
-        # input (giants, encodings, pathological markup) that SQL cannot
-        # re-derive; validated by the byte-identical golden pytest suite.
+        # closed-form mirror of q_extract_fixture_pages: every projected
+        # column is a pure function of the row index and the generator
+        # parameters (see the query's comment for the derivations)
+        "extract_fixture_pages": f"""
+            WITH idx AS (SELECT range AS i FROM range(0, {_FIXTURE_N})),
+            t AS (SELECT i, CAST(i % 10 AS INTEGER) AS tpl FROM idx)
+            SELECT 'https://example-' || CAST(tpl AS VARCHAR) || '.test/p'
+                     || CAST(i // 10 AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+                     AS url,
+                   CASE WHEN tpl = 5 THEN 'empty'
+                        WHEN tpl = 7 THEN 'pdf' ELSE 'html' END
+                     AS content_kind,
+                   CAST(NULL AS VARCHAR) AS error,
+                   tpl <> 5 AS has_spans,
+                   (i % {_FIXTURE_GIANT_EVERY}) = 8 AS is_giant
+            FROM t
+        """,
     }
 
 
