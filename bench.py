@@ -368,26 +368,35 @@ def dedup_stage_runs(spark, timings: dict[str, float]) -> None:
     )
 
     corpus = entrymod._dup_corpus(spark, SF_DIR)
-    with cache_scope() as scope:
-        sig = scope.persist(entrymod.with_minhash(corpus))
-        timings["minhash_signatures"] = _timed(lambda: noop_write(sig))
-        cands = scope.persist(
-            lsh_candidate_pairs(sig, persist_bands=False))
-        timings["lsh_candidates"] = _timed(lambda: noop_write(cands))
-        with cache_scope() as qscope:
-            timings["near_dup_docs"] = _timed(lambda: noop_write(
-                near_duplicate_docs(corpus, threshold=0.8,
-                                    candidates=cands, scope=qscope)))
-        with cache_scope() as qscope:
-            timings["dup_groups"] = _timed(lambda: noop_write(
-                duplicate_groups(
-                    near_duplicate_docs(corpus, threshold=0.8,
-                                        candidates=cands, scope=qscope),
-                    scope=qscope)))
-        with cache_scope() as qscope:
-            timings["curated_docs"] = _timed(lambda: noop_write(
-                curate_corpus(corpus, min_quality=0.5, threshold=0.8,
-                              candidates=cands, scope=qscope)))
+    # each stage is MATERIALIZED via eager localCheckpoint — the local
+    # stand-in for a stored stage table: the next stage consumes
+    # materialized rows through a constant-size plan, exactly as it
+    # would read a parquet snapshot (a persist() would instead drag the
+    # producer's whole logical plan into every consumer's analysis).
+    # Each stage's timing includes its own materialization cost.
+    holder: dict = {}
+
+    def stage(name, build):
+        timings[name] = _timed(lambda: holder.update({name: build()}))
+        return holder[name]
+
+    sig = stage("minhash_signatures",
+                lambda: entrymod.with_minhash(corpus).localCheckpoint())
+    cands = stage("lsh_candidates",
+                  lambda: lsh_candidate_pairs(
+                      sig, persist_bands=False).localCheckpoint())
+    with cache_scope() as qscope:
+        pairs = stage("near_dup_docs",
+                      lambda: near_duplicate_docs(
+                          corpus, threshold=0.8, candidates=cands,
+                          scope=qscope).localCheckpoint())
+    with cache_scope() as qscope:
+        timings["dup_groups"] = _timed(lambda: noop_write(
+            duplicate_groups(pairs, scope=qscope)))
+    with cache_scope() as qscope:
+        timings["curated_docs"] = _timed(lambda: noop_write(
+            curate_corpus(corpus, min_quality=0.5, threshold=0.8,
+                          candidates=cands, pairs=pairs, scope=qscope)))
     for name in DEDUP_STAGES:
         print(f"[bench] {name} (staged): {timings[name]}s", file=sys.stderr)
 

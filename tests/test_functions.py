@@ -395,6 +395,17 @@ def test_curate_corpus_staged_candidates_match_fused(spark):
             docs, min_quality=0.3, threshold=0.8, candidates=cands,
             scope=scope).collect())
     assert staged == fused == [1]
+    # deepest staging: corpus-level VERIFIED pairs fed in, verification
+    # skipped entirely — identical survivors
+    from webextract.functions.dedup import near_duplicate_docs
+
+    with cache_scope() as scope:
+        pairs = scope.persist(near_duplicate_docs(
+            docs, threshold=0.8, scope=scope))
+        via_pairs = sorted(r["doc_id"] for r in curate_corpus(
+            docs, min_quality=0.3, threshold=0.8, pairs=pairs,
+            scope=scope).collect())
+    assert via_pairs == fused
 
 
 def test_cache_scope_releases(spark):

@@ -155,4 +155,45 @@ def test_spool_parquet_readable(server, tmp_path):
     total = sum(pq.read_table(f).num_rows for f in files)
     assert total == 4
     cols = set(pq.read_table(files[0]).schema.names)
-    assert {"url", "extracted_text", "n_spans", "content_kind"} <= cols
+    # pages-schema columns (replayable input) + served-result extras
+    assert {"url", "warc_ts", "html", "text", "lang",
+            "n_spans", "content_kind"} <= cols
+
+
+def test_spool_streaming_ingest_batch_parity(spark, tmp_path):
+    """e2e across the three entry surfaces: HTTP serving -> parquet spool
+    -> Structured Streaming ingest -> byte-identical to (a) the served
+    JSON responses and (b) the batch pipeline over the same spool."""
+    from webextract.pipeline import (
+        PipelineOptions, extract_dataframe, ship_package,
+    )
+    from webextract.streaming import stream_extraction
+
+    ship_package(spark)
+    spool = str(tmp_path / "spool")
+    srv = ExtractServer(spool_dir=spool, flush_every=3)
+    srv.start()
+    served = {}
+    try:
+        for row in gen_pages(10, giant_every=0):
+            _, got = _post(srv.port, row["url"], row["html"])
+            served[row["url"]] = got["extracted_text"]
+    finally:
+        srv.close()  # flushes the tail
+
+    # streaming ingest of the spool (exactly-once via checkpoint)
+    out = str(tmp_path / "stream_out")
+    q = stream_extraction(spark, f"{spool}/*.parquet", out,
+                          str(tmp_path / "cp"))
+    q.awaitTermination(120)
+    streamed = {r["url"]: r["extracted_text"]
+                for r in spark.read.parquet(out).collect()}
+    assert streamed == served
+
+    # batch pipeline over the same spool input
+    pages = spark.read.parquet(spool).select(
+        "url", "warc_ts", "html", "text", "lang")
+    batch = {r["url"]: r["extracted_text"]
+             for r in extract_dataframe(
+                 pages, opts=PipelineOptions(num_partitions=2)).collect()}
+    assert batch == served

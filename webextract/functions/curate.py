@@ -39,6 +39,7 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   threshold: float = 0.8,
                   persist_survivors: bool = True,
                   candidates: DataFrame | None = None,
+                  pairs: DataFrame | None = None,
                   transitive: bool = False,
                   scope: CacheScope | None = None) -> DataFrame:
     """corpus → surviving documents after quality + exact + near-dup.
@@ -47,14 +48,18 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     surviving document. Deterministic: survivors depend only on content
     and ids, never on partitioning or execution order.
 
-    ``candidates`` lets the production shape (signatures / candidate
-    pairs stored once per corpus snapshot) feed this pipeline instead of
-    re-deriving the MinHash stack from scratch: pass corpus-level
-    :func:`~webextract.functions.dedup.lsh_candidate_pairs` output and
-    it is narrowed to pairs whose BOTH endpoints survive the quality +
-    exact-dedup gates. A doc's band keys depend only on its own content,
-    so corpus-level candidates restricted to survivors are exactly the
-    candidates the survivor set would produce — results are identical.
+    ``candidates`` / ``pairs`` let the production shape (signatures,
+    candidate pairs, verified pairs — stored once per corpus snapshot)
+    feed this pipeline instead of re-deriving the MinHash stack from
+    scratch: pass corpus-level
+    :func:`~webextract.functions.dedup.lsh_candidate_pairs` /
+    :func:`~webextract.functions.dedup.near_duplicate_docs` output and
+    it is narrowed to rows whose BOTH endpoints survive the quality +
+    exact-dedup gates. Band keys and pairwise Jaccard depend only on
+    the two documents' own content, so corpus-level stages restricted
+    to survivors equal the stages the survivor set would produce —
+    results are identical. ``pairs`` wins when both are given (it skips
+    verification entirely).
 
     ``persist_survivors`` materializes the exact-dedup survivor set,
     which the near-dup stage consumes THREE times (shingle derivation,
@@ -75,17 +80,22 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     if persist_survivors:
         exact_survivors = sc.persist(exact_survivors.select(
             id_col, text_col, "n_tokens", "quality_score", "fingerprint"))
-    if candidates is not None:
+    def _narrow(rel: DataFrame) -> DataFrame:
         ids = exact_survivors.select(F.col(id_col).alias("_sid"))
-        candidates = (
-            candidates
-            .join(ids, candidates["doc_a"] == ids["_sid"], "left_semi")
-            .join(ids, candidates["doc_b"] == ids["_sid"], "left_semi")
+        return (
+            rel.join(ids, rel["doc_a"] == ids["_sid"], "left_semi")
+            .join(ids, rel["doc_b"] == ids["_sid"], "left_semi")
         )
-    pairs = near_duplicate_docs(
-        exact_survivors.select(F.col(id_col), F.col(text_col)),
-        id_col=id_col, text_col=text_col, threshold=threshold,
-        candidates=candidates, scope=sc)
+
+    if pairs is not None:
+        pairs = _narrow(pairs).filter(F.col("jaccard") >= threshold)
+    else:
+        if candidates is not None:
+            candidates = _narrow(candidates)
+        pairs = near_duplicate_docs(
+            exact_survivors.select(F.col(id_col), F.col(text_col)),
+            id_col=id_col, text_col=text_col, threshold=threshold,
+            candidates=candidates, scope=sc)
     if transitive:
         # cluster-consistent drop: exactly one survivor (the min id) per
         # connected component of verified pairs — a chain a~b~c keeps

@@ -195,13 +195,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         threshold: float = 0.8) -> DataFrame:
     """Pairs (a<b) with Jaccard similarity >= threshold over distinct
-    word 3-gram shingles. Exact; at scale feed it LSH candidates."""
-    doc_shingles = (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(norm_text(text_col))).alias("sh"))
-        .distinct()
-    )
-    sizes = doc_shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    word 3-gram shingles. Exact; at scale feed it LSH candidates.
+
+    Per-doc shingle dedup is ``array_distinct`` inside codegen — (id, sh)
+    duplicates only occur within one document, so no global ``distinct``
+    exchange is needed, and sizes are a row-local ``size()``."""
+    sets = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(norm_text(text_col))).alias("shs"))
+    doc_shingles = sets.select("id", F.explode("shs").alias("sh"))
+    sizes = sets.select("id", F.size("shs").alias("n_sh"))
     a = doc_shingles.select(F.col("id").alias("doc_a"), "sh")
     b = doc_shingles.select(F.col("id").alias("doc_b"), "sh")
     common = (
@@ -255,12 +258,21 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
     executor loss, point ``spark.sparkContext.setCheckpointDir`` at
     durable storage and swap in ``checkpoint`` — same plan shape.
     """
-    sc = resolve(scope)
     fwd = pairs.select(F.col("doc_a").alias("src"),
                        F.col("doc_b").alias("dst"))
-    edges = sc.persist(
+    # localCheckpoint (not persist): a cached relation still carries its
+    # full logical plan — here the whole verify pipeline — into EVERY
+    # round's analysis, making driver-side planning the dominant
+    # per-round cost; truncating the lineage keeps round plans constant-
+    # size. ``scope`` is accepted for API consistency but the loop state
+    # needs no release path: checkpointed RDDs are dropped by the
+    # ContextCleaner as soon as the previous round's frame is
+    # unreferenced.
+    edges = (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst"))).distinct())
+                                   F.col("src").alias("dst"))).distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -271,17 +283,16 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
         return labels.select(F.col("id").alias("doc_id"),
                              F.col("label").alias("group_id"))
     for _ in range(max_iter):
-        nbr = (
+        # one agg over self ∪ neighbor messages replaces the
+        # nbr-agg + left-join-least shape: fewer exchanges per round,
+        # and exchange count IS the round cost (the relations are far
+        # smaller than the corpus; stage latency dominates)
+        msgs = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst").agg(F.min("label").alias("nlabel"))
-            .withColumnRenamed("dst", "id")
+            .select(F.col("dst").alias("id"), "label")
+            .unionByName(labels)
         )
-        stepped = (
-            labels.join(nbr, "id", "left")
-            .select("id", F.least(
-                F.col("label"),
-                F.coalesce("nlabel", F.col("label"))).alias("label"))
-        )
+        stepped = msgs.groupBy("id").agg(F.min("label").alias("label"))
         # pointer jump: labels are always existing node ids, so the
         # inner self-join is total
         ptr = stepped.select(F.col("id").alias("pid"),
@@ -302,14 +313,23 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
                          F.col("label").alias("group_id"))
 
 
-def candidate_doc_shingles(docs: DataFrame, cands: DataFrame,
+def candidate_shingle_sets(docs: DataFrame, cands: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
-    """Distinct (id, sh) shingle relation for the docs that appear in a
-    candidate-pair set. The semi-join before the explode keeps the
-    expensive shingle materialization proportional to |candidates|
-    (~linear for web text), not |corpus| — at 10^12 docs the difference
-    between re-shingling the corpus and touching only the suspects."""
+    """(id, shs: array<string>) — the DISTINCT shingle set per doc that
+    appears in a candidate-pair set, one compact array row per doc.
+
+    Two scale properties: the semi-join before shingling keeps the
+    expensive materialization proportional to |candidates| (~linear for
+    web text), not |corpus| — and the per-doc dedup is ``array_distinct``
+    INSIDE codegen, not a global ``distinct()``: (id, sh) duplicates can
+    only occur within a single document, so deduping row-locally removes
+    the multi-million-row exchange (and the downstream per-doc size()
+    needs no aggregation either). The candidate-id side is left to AQE:
+    it broadcasts when the dup rate is low and shuffles when candidates
+    are corpus-sized — no forced hint, since at 10^12 docs the id set is
+    NOT broadcastable.
+    """
     cand_ids = (
         cands.select(F.col("doc_a").alias("id"))
         .unionByName(cands.select(F.col("doc_b").alias("id")))
@@ -318,8 +338,8 @@ def candidate_doc_shingles(docs: DataFrame, cands: DataFrame,
     return (
         docs.select(F.col(id_col).alias("id"), F.col(text_col))
         .join(cand_ids, "id", "left_semi")
-        .select("id", F.explode(shingles(norm_text(text_col))).alias("sh"))
-        .distinct()
+        .select("id", F.array_distinct(
+            shingles(norm_text(text_col))).alias("shs"))
     )
 
 
@@ -345,10 +365,12 @@ def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
 
     Two relations here have multiple consumers and are persisted so Spark
     does not recompute their subtrees per consumer: the candidate pairs
-    (semi-join id set + the verify join) and the candidate-doc shingle
-    relation (sizes + both sides of the common-shingle join — measured
-    ~4x wall on the unfused plan at sf0.1). Release contract is
-    ``scope``: see :mod:`webextract.functions.cache`.
+    (semi-join id set + the verify join) and the per-doc candidate
+    shingle-set relation (sizes + both sides of the common-shingle join —
+    measured ~4x wall on the unfused plan at sf0.1). The cached relation
+    is one compact array row per doc; the exploded forms derive from the
+    cache. Release contract is ``scope``: see
+    :mod:`webextract.functions.cache`.
     """
     sc = resolve(scope)
     if candidates is not None:
@@ -360,11 +382,13 @@ def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
         cands = sc.persist(lsh_candidate_pairs(
             with_minhash(docs, id_col, text_col), id_col=id_col,
             scope=sc))
-    ds = sc.persist(
-        candidate_doc_shingles(docs, cands, id_col, text_col))
-    sizes = ds.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = ds.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = ds.select(F.col("id").alias("_id_b"), F.col("sh").alias("sh_b"))
+    sets = sc.persist(
+        candidate_shingle_sets(docs, cands, id_col, text_col))
+    sizes = sets.select("id", F.size("shs").alias("n_sh"))
+    a = sets.select(F.col("id").alias("doc_a"),
+                    F.explode("shs").alias("sh_a"))
+    b = sets.select(F.col("id").alias("_id_b"),
+                    F.explode("shs").alias("sh_b"))
     common = (
         cands.join(a, "doc_a")
         .join(b, (F.col("doc_b") == F.col("_id_b"))

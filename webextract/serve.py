@@ -39,6 +39,7 @@ byte-identical to pipeline output for the same payload + config.
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import threading
 import time
@@ -79,7 +80,16 @@ class _Metrics:
 
 
 class _Spool:
-    """Buffered parquet side-output of served results (thread-safe)."""
+    """Buffered parquet side-output of served requests (thread-safe).
+
+    Each spool row is a VALID ``pages`` row (url, warc_ts, html, text,
+    lang — the engine's input schema) carrying the raw posted payload,
+    plus served-result extras (n_spans, content_kind, error, served_at).
+    Reading the spool with ``PAGES_SCHEMA`` (batch or
+    ``streaming.stream_extraction``) ignores the extras, so served
+    traffic replays through the cluster pipeline byte-identically —
+    the bridge the e2e test drives end to end.
+    """
 
     def __init__(self, spool_dir: str | None, flush_every: int) -> None:
         self.dir = spool_dir
@@ -87,11 +97,22 @@ class _Spool:
         self._rows: list[dict] = []
         self._lock = threading.Lock()
 
-    def add(self, row: dict) -> None:
+    def add(self, row: dict, payload: bytes) -> None:
         if self.dir is None:
             return
         with self._lock:
-            self._rows.append(row)
+            self._rows.append({
+                "url": row["url"],
+                "warc_ts": dt.datetime.now(dt.timezone.utc)
+                .replace(tzinfo=None),
+                "html": payload,
+                "text": row["extracted_text"],
+                "lang": None,
+                "n_spans": row["n_spans"],
+                "content_kind": row["content_kind"],
+                "error": row["error"],
+                "served_at": time.time(),
+            })
             if len(self._rows) >= self.flush_every:
                 self._flush_locked()
 
@@ -108,12 +129,14 @@ class _Spool:
         import pyarrow.parquet as pq
 
         pathlib.Path(self.dir).mkdir(parents=True, exist_ok=True)
-        table = pa.Table.from_pylist([
-            {"url": r["url"], "extracted_text": r["extracted_text"],
-             "n_spans": r["n_spans"], "content_kind": r["content_kind"],
-             "error": r["error"], "served_at": time.time()}
-            for r in self._rows
+        schema = pa.schema([
+            ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()), ("text", pa.string()),
+            ("lang", pa.string()), ("n_spans", pa.int32()),
+            ("content_kind", pa.string()), ("error", pa.string()),
+            ("served_at", pa.float64()),
         ])
+        table = pa.Table.from_pylist(self._rows, schema=schema)
         name = f"served-{uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(table, f"{self.dir}/{name}")
         self._rows = []
@@ -193,7 +216,7 @@ class ExtractServer:
             m.latency_sum += time.perf_counter() - t0
             if row["error"] is not None:
                 m.errors_total += 1
-        self.spool.add(row)
+        self.spool.add(row, payload)
         return row
 
     def _handler(self):
