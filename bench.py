@@ -209,11 +209,16 @@ def _scaling_server(cores: int, cpu_lo: int) -> None:
     pages = spark.read.parquet(PAGES_PATH)
     n_docs = pages.count()
     opts = PipelineOptions(num_partitions=cores * 2)
-    # one untimed warm-up over the small same-mix input (python workers
-    # fork + import once per executor slot, JIT compiles the hot stages;
-    # steady-state throughput is what a long-running cluster job sees)
+    # untimed warm-up: small same-mix input first (python workers fork +
+    # import, hot stages JIT), then ONE full-size burn-in run — the
+    # recorded pair series of earlier rounds shows both levels still
+    # warming for 2-3 full runs (page cache, JIT tiers, JVM heap sizing),
+    # which distorts early pairs in BOTH directions; steady-state
+    # throughput is what a long-running cluster job sees. The burn-in is
+    # part of the fixed protocol, not a result-dependent retry.
     noop_write(extract_dataframe(
         spark.read.parquet(WARMUP_PATH), opts=opts))
+    noop_write(extract_dataframe(pages, opts=opts))
     print(json.dumps({"ready": True, "n_docs": n_docs}), flush=True)
     for line in sys.stdin:
         if line.strip() == "quit":
@@ -446,13 +451,15 @@ def write_bench_md(scaling: dict, timings: dict[str, float]) -> None:
         "shares the task-slot budget like a real N-core executor node and "
         "the idle child never steals cycles from the measuring one.",
         "",
-        "**Measurement policy** (fixed in advance, symmetric): the two "
-        f"levels alternate A/B within the same window for "
-        f"{len(sc['pairs'])} pairs; every pair that runs is recorded "
-        "below and the headline number is the MEDIAN of the per-pair "
-        "ratios. There is no re-measure-if-low / keep-the-better-window "
-        "step in either direction (round 2's one-sided retry biased the "
-        "headline and was removed).",
+        "**Measurement policy** (fixed in advance, symmetric): each child "
+        "does one untimed full-size burn-in (earlier recorded pair series "
+        "showed both levels still warming for 2-3 full runs, distorting "
+        "early pairs in both directions), then the two levels alternate "
+        f"A/B within the same window for {len(sc['pairs'])} pairs; every "
+        "pair that runs is recorded below and the headline number is the "
+        "MEDIAN of the per-pair ratios. There is no re-measure-if-low / "
+        "keep-the-better-window step in either direction (round 2's "
+        "one-sided retry biased the headline and was removed).",
         "",
         "| pair | wall@4 cores (s) | wall@16 cores (s) | efficiency |",
         "|---|---|---|---|",

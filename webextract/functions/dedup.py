@@ -193,16 +193,21 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        scope: CacheScope | None = None) -> DataFrame:
     """Pairs (a<b) with Jaccard similarity >= threshold over distinct
     word 3-gram shingles. Exact; at scale feed it LSH candidates.
 
     Per-doc shingle dedup is ``array_distinct`` inside codegen — (id, sh)
     duplicates only occur within one document, so no global ``distinct``
-    exchange is needed, and sizes are a row-local ``size()``."""
-    sets = docs.select(
+    exchange is needed, and sizes are a row-local ``size()``. The compact
+    per-doc set relation is materialized once (``scope`` release
+    contract): it feeds both self-join sides and the sizes projection,
+    and with no exchange below the join there is otherwise nothing for
+    ReuseExchange to share — each side would re-shingle the corpus."""
+    sets = resolve(scope).persist(docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(norm_text(text_col))).alias("shs"))
+        F.array_distinct(shingles(norm_text(text_col))).alias("shs")))
     doc_shingles = sets.select("id", F.explode("shs").alias("sh"))
     sizes = sets.select("id", F.size("shs").alias("n_sh"))
     a = doc_shingles.select(F.col("id").alias("doc_a"), "sh")
