@@ -207,6 +207,36 @@ def q_near_dup_embeddings(spark, sf_dir):
     )
 
 
+def q_near_dup_embeddings_lsh(spark, sf_dir):
+    # scale path: exact-cosine verify restricted to hyperplane-bucket
+    # collisions (keyed equi-join instead of the all-pairs cross join)
+    from webextract.functions.similarity import near_duplicate_pairs_lsh
+
+    return near_duplicate_pairs_lsh(
+        _embeddings(spark, sf_dir).filter(F.col("vec_id") < 100),
+        threshold=0.3, dim=EMB_DIM)
+
+
+def q_token_stats(spark, sf_dir):
+    from webextract.functions.text import (
+        norm_text, token_count, token_count_regex,
+    )
+
+    norm = norm_text("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(norm).alias("n_tokens_ws"),
+        token_count_regex(norm).alias("n_tokens_regex"),
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    from webextract.functions.text import norm_text, winnow_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", winnow_fingerprint(norm_text("text")).alias("winnow_fp"))
+
+
 def q_lang_id(spark, sf_dir):
     feats = with_text_features(_docs(spark, sf_dir))
     return feats.groupBy("lang", "guess_lang").agg(
@@ -384,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": q_dup_groups,
         "knn_cosine": q_knn_cosine,
         "near_dup_embeddings": q_near_dup_embeddings,
+        "near_dup_embeddings_lsh": q_near_dup_embeddings_lsh,
+        "token_stats": q_token_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "token_counts_by_source": q_token_counts_by_source,
@@ -665,6 +698,19 @@ def oracle_sql() -> dict[str, str]:
                                                 i -> a.v[i] * b.v[i]))
                         / sqrt(a.nsq * b.nsq), 4) >= 0.3
         """,
+        "near_dup_embeddings_lsh": _neardup_lsh_sql(),
+        "token_stats": f"""
+            WITH n AS (SELECT doc_id, {norm} AS norm FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN length(norm) = 0 THEN 0
+                             ELSE len(string_split(norm, ' ')) END
+                        AS BIGINT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(
+                            norm, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+                        AS BIGINT) AS n_tokens_regex
+            FROM n
+        """,
+        "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),
         "token_counts_by_source": f"""
@@ -817,6 +863,63 @@ def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
                    / sqrt(p.pnsq * a.nsq), 4) AS cos_sim
       FROM a JOIN p ON a.cluster = p.cluster AND a.vec_id <> p.probe_id),
     {_ANN_RANK}
+    """
+
+
+def _neardup_lsh_sql(n_planes: int = 8, threshold: float = 0.3) -> str:
+    """Mirror of similarity.near_duplicate_pairs_lsh: the same
+    md5-derived plan-time-literal hyperplanes as _ann_lsh_sql, self
+    equi-joined on the bucket with exact cosine verification."""
+    from webextract.functions.similarity import _hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        lits = ", ".join(repr(c) for c in _hyperplane(p, EMB_DIM))
+        d = (f"round(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+             f"i -> v[i] * ([{lits}])[i])), 6)")
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id < 100),
+    n AS (SELECT vec_id, v,
+                 list_sum(list_transform(v, x -> x * x)) AS nsq,
+                 {bucket} AS bucket
+          FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                                         i -> a.v[i] * b.v[i]))
+                 / sqrt(a.nsq * b.nsq), 4) AS cos_sim
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                                        i -> a.v[i] * b.v[i]))
+                / sqrt(a.nsq * b.nsq), 4) >= {threshold}
+    """
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    """Mirror of text.winnow_fingerprint: rolling 60-bit k-gram hashes,
+    per-window minima, md5 of the sorted distinct selections."""
+    h = _H60.format(x=f"array_to_string(toks[i:i+{k - 1}], ' ')")
+    return f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+    g AS (SELECT doc_id, norm, len(toks) AS nt,
+                 list_transform(range(1, len(toks) - {k - 2}),
+                                i -> {h}) AS grams
+          FROM t),
+    m AS (SELECT doc_id, norm, nt,
+                 list_transform(range(1, len(grams) - {w - 2}),
+                                i -> list_min(grams[i:i+{w - 1}])) AS mins
+          FROM g)
+    SELECT doc_id,
+           CASE WHEN nt >= {k + w - 1}
+                THEN md5(array_to_string(
+                         list_transform(list_sort(list_distinct(mins)),
+                                        x -> CAST(x AS VARCHAR)), ','))
+                ELSE md5(norm) END AS winnow_fp
+    FROM m
     """
 
 

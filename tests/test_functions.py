@@ -419,6 +419,60 @@ def test_cache_scope_releases(spark):
     assert not cached.storageLevel.useMemory  # released on exit
 
 
+def test_near_duplicate_pairs_lsh_subset_of_exact(spark):
+    from webextract.functions.similarity import (
+        near_duplicate_pairs, near_duplicate_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype(np.float32)
+    # plant near-duplicates: vectors 30..39 are jittered copies of 0..9
+    vecs = np.vstack([base, base[:10] + 0.01 * rng.randn(10, 16).astype(np.float32)])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+         for i in range(len(vecs))])
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in near_duplicate_pairs(df, threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in near_duplicate_pairs_lsh(
+               df, threshold=0.95, dim=16).collect()}
+    # exact precision: every emitted pair carries the true cosine
+    for pair, sim in lsh.items():
+        assert exact[pair] == sim
+    # recall: the planted jittered copies collide in the bucket space
+    assert len(lsh) >= len(exact) * 0.5 > 0
+
+
+def test_token_count_regex_pins(spark):
+    from webextract.functions.text import token_count_regex
+
+    rows = spark.createDataFrame([
+        Row(t="hello, world! it's 42"),
+        Row(t="abc"),
+        Row(t=""),
+    ]).select(token_count_regex(F.col("t")).alias("n")).collect()
+    # hello , world ! it ' s 42 -> 8 tokens; abc -> 1; '' -> 0
+    assert [r["n"] for r in rows] == [8, 1, 0]
+
+
+def test_winnow_fingerprint_edit_robustness(spark):
+    from webextract.functions.text import norm_text, winnow_fingerprint
+
+    words = [f"w{i}" for i in range(60)]
+    a = " ".join(words)
+    changed = list(words); changed[30] = "XX"
+    b = " ".join(changed)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b),
+         Row(doc_id=3, text=a), Row(doc_id=4, text="tiny doc")])
+    out = {r["doc_id"]: r["winnow_fp"] for r in df.select(
+        "doc_id", winnow_fingerprint(norm_text("text")).alias("winnow_fp")
+    ).collect()}
+    assert out[1] == out[3]          # identical docs -> identical fp
+    assert out[1] != out[2]          # an edit changes the fingerprint
+    assert out[4] == hashlib.md5(b"tiny doc").hexdigest()  # short-doc path
+
+
 def test_ivf_unknown_quantizer_rejected(spark):
     from webextract.functions.similarity import ivf_ann_topk
 

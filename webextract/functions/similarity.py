@@ -96,6 +96,39 @@ def near_duplicate_pairs(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
+def near_duplicate_pairs_lsh(embeddings: DataFrame,
+                             threshold: float = 0.95,
+                             n_planes: int = 8,
+                             dim: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Scale path for :func:`near_duplicate_pairs`: exact-cosine verify
+    restricted to hyperplane-bucket collisions.
+
+    The self-join is an EQUI-join on the deterministic LSH bucket, so the
+    shuffle is keyed and balanced instead of the all-pairs cross join —
+    the embedding analog of the MinHash band join. High-cosine pairs
+    agree on most hyperplane signs, so recall is high at near-dup
+    thresholds (approximate recall, exact precision: every emitted
+    cos_sim is the true value). Bucket assignment uses plan-time literal
+    hyperplanes — no driver action, exact DuckDB oracle.
+    """
+    base = with_lsh_bucket(_prepared(embeddings, id_col, vec_col),
+                           n_planes, dim, id_col, "_v")
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                    F.col("_nsq").alias("_na"), "lsh_bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                    F.col("_nsq").alias("_nb"), "lsh_bucket")
+    return (
+        a.join(b, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("_va"), F.col("_vb"),
+                       F.col("_na"), F.col("_nb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # scale path: random-hyperplane LSH
 # ---------------------------------------------------------------------------

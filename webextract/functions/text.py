@@ -60,6 +60,51 @@ def lang_guess(padded: Column, n_tokens: Column) -> Column:
     return F.when(ratio >= 0.04, F.lit("en")).otherwise(F.lit("und"))
 
 
+# word-or-punct token pattern for the BPE-ish count: alnum runs count as
+# one token, every other non-space char as its own token — the same
+# class-based regex evaluates identically under Java regex (Spark) and
+# DuckDB's RE2, which keeps the oracle exact
+TOKEN_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_regex(text: Column) -> Column:
+    """Sub-word-ish token count: alnum runs + individual punctuation
+    marks. A closer proxy for BPE token counts than whitespace splitting
+    (punctuation tokenizes separately), still a pure codegen expression."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX)).cast("long")
+
+
+def winnow_fingerprint(norm: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken):
+    hash every word ``k``-gram (rolling 60-bit md5-derived hash), take
+    the minimum per sliding window of ``w`` consecutive hashes, and md5
+    the sorted distinct selected values. Robust to local edits — two
+    documents sharing long runs share most selected hashes — and fully
+    plan-side: sequence/transform/slice/array_min run inside codegen,
+    no explode, no shuffle, exact DuckDB mirror.
+    """
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.conv(F.substring(
+            F.md5(F.encode(F.array_join(F.slice(toks, i, k), " "),
+                           "UTF-8")), 1, 15), 16, 10).cast("long"),
+    )
+    m = F.size(grams)
+    mins = F.transform(
+        F.sequence(F.lit(1), m - (w - 1)),
+        lambda i: F.array_min(F.slice(grams, i, w)),
+    )
+    selected = F.array_sort(F.array_distinct(mins))
+    fp = F.md5(F.encode(
+        F.array_join(F.transform(selected, lambda x: x.cast("string")),
+                     ","), "UTF-8"))
+    # short docs: fewer than k+w-1 words -> fingerprint of the whole text
+    return F.when(n >= k + w - 1, fp).otherwise(
+        F.md5(F.encode(norm, "UTF-8")))
+
+
 def with_text_features(docs: DataFrame) -> DataFrame:
     """documents → + (norm, n_tokens, n_stop, stop_ratio, guess_lang,
     quality_score, fingerprint).
