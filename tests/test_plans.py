@@ -77,6 +77,31 @@ def test_knn_pushes_probe_filter_and_broadcasts(spark):
     assert "Exchange hashpartitioning" not in score_section
 
 
+def test_candidate_shingle_sets_no_global_distinct(spark, docs):
+    # per-doc dedup must stay a row-local array_distinct inside codegen:
+    # a global distinct() would re-introduce a corpus-sized exchange in
+    # the verify path (PLANS.md "Near-dup verify")
+    from webextract.functions.dedup import candidate_shingle_sets
+
+    cands = spark.createDataFrame(
+        [(1, 8), (2, 9)], "doc_a long, doc_b long")
+    plan = plan_of(candidate_shingle_sets(docs, cands))
+    assert "array_distinct" in plan
+    # only the semi-join may exchange; no aggregation anywhere
+    assert _count_nodes(plan, "HashAggregate") == 2  # cand_ids distinct only
+    sets_side = plan.split("LeftSemi")[0]
+    assert "HashAggregate" not in sets_side
+
+
+def test_winnow_fingerprint_shuffle_free(docs):
+    from webextract.functions.text import norm_text, winnow_fingerprint
+
+    plan = plan_of(docs.select(
+        "doc_id", winnow_fingerprint(norm_text("text")).alias("fp")))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode: pure array expressions
+
+
 def test_resume_anti_join_shape(spark):
     pages = pages_from_documents(spark, SF)
     done = pages.limit(10).select("url")
