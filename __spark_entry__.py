@@ -340,11 +340,10 @@ def q_block_scores(spark, sf_dir):
                              debug_scores=True)
 
 
-def q_media_features(spark, sf_dir):
-    ship_package(spark)
+def _media_table(spark, sf_dir):
     from webextract.functions.text import norm_text
 
-    media = _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode(norm_text("text"), "UTF-8").alias("payload"),
         F.element_at(
@@ -352,7 +351,27 @@ def q_media_features(spark, sf_dir):
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("kind"),
     )
-    return media_features(media, backend="fake")
+
+
+def q_media_features(spark, sf_dir):
+    ship_package(spark)
+    return media_features(_media_table(spark, sf_dir), backend="fake")
+
+
+def q_media_resize(spark, sf_dir):
+    ship_package(spark)
+    from webextract.functions.multimodal import media_transform
+
+    return media_transform(_media_table(spark, sf_dir), op="resize",
+                           width=256, height=256)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    ship_package(spark)
+    from webextract.functions.multimodal import media_transform
+
+    return media_transform(_media_table(spark, sf_dir), op="frame_sample",
+                           frame_every=7)
 
 
 # the testdata embeddings table contract: fixed 64-dim float vectors.
@@ -429,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_docs_transitive": q_curated_docs_transitive,
         "block_scores": q_block_scores,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frame_sample": q_media_frame_sample,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "extract_fixture_pages": q_extract_fixture_pages,
@@ -765,6 +786,8 @@ def oracle_sql() -> dict[str, str]:
             FROM n WHERE length(norm) > 0
         """,
         "media_features": _media_sql(),
+        "media_resize": _media_transform_sql("resize"),
+        "media_frame_sample": _media_transform_sql("frame_sample"),
         "curated_docs": _curate_sql(),
         "curated_docs_transitive": _curate_sql(transitive=True),
         "ann_lsh_topk": _ann_lsh_sql(),
@@ -1029,6 +1052,41 @@ def _quality_sql() -> str:
                       + LEAST(stop_ratio * 4, 1.0)) / 2, 6) AS quality_score,
                md5(norm) AS fingerprint
         FROM r
+    """
+
+
+def _media_transform_sql(op: str) -> str:
+    """Mirror of multimodal.media_transform over the fake backend: the
+    transform applies to the md5-derived decode, and the output digest is
+    md5(src_digest || ':' || spec)."""
+    norm = _NORM_SQL
+    frames = ("CAST(1 + CAST('0x' || substr(digest, 9, 4) AS UBIGINT) % 300"
+              " AS INTEGER)")
+    if op == "resize":
+        spec = "resize:256x256"
+        w, h = "CAST(256 AS INTEGER)", "CAST(256 AS INTEGER)"
+        nf = f"CASE WHEN kind = 'video' THEN {frames} ELSE NULL END"
+    else:
+        spec = "frame_sample:7"
+        w = ("CAST(1 + CAST('0x' || substr(digest, 1, 4) AS UBIGINT) % 1024"
+             " AS INTEGER)")
+        h = ("CAST(1 + CAST('0x' || substr(digest, 5, 4) AS UBIGINT) % 1024"
+             " AS INTEGER)")
+        nf = (f"CASE WHEN kind = 'video' THEN "
+              f"CAST(ceil({frames} / 7.0) AS INTEGER) ELSE NULL END")
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS norm FROM documents),
+        m AS (SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INTEGER)
+                          WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     md5(norm) AS digest
+              FROM n)
+        SELECT media_id, kind, '{op}' AS op,
+               {w} AS width, {h} AS height, {nf} AS n_frames,
+               md5(digest || ':{spec}') AS digest,
+               CAST(NULL AS VARCHAR) AS error
+        FROM m
     """
 
 

@@ -240,6 +240,43 @@ def test_media_real_backend_header_decode(spark):
         assert out[mid]["digest"] is not None
 
 
+def test_media_transform_fake_and_real_seam(spark):
+    from webextract.functions.multimodal import media_transform
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame([
+        Row(media_id=1, payload=b"some video bytes", kind="video"),
+        Row(media_id=2, payload=b"an image payload", kind="image"),
+    ])
+    out = {r["media_id"]: r for r in media_transform(
+        df, op="resize", width=256, height=256).collect()}
+    digest1 = hashlib.md5(b"some video bytes").hexdigest()
+    assert (out[1]["width"], out[1]["height"]) == (256, 256)
+    assert out[1]["n_frames"] == 1 + int(digest1[8:12], 16) % 300
+    assert out[1]["digest"] == hashlib.md5(
+        f"{digest1}:resize:256x256".encode()).hexdigest()
+    assert out[2]["n_frames"] is None and out[2]["error"] is None
+
+    sampled = {r["media_id"]: r for r in media_transform(
+        df, op="frame_sample", frame_every=7).collect()}
+    import math
+    assert sampled[1]["n_frames"] == math.ceil(
+        (1 + int(digest1[8:12], 16) % 300) / 7)
+
+    # real backend: header decode works, pixel stage is the honest seam
+    real = media_transform(
+        spark.createDataFrame(
+            [Row(media_id=3, payload=_gif_bytes(8, 8, 5), kind="image")]),
+        op="resize", width=10, height=10, backend="real").collect()[0]
+    assert "NotImplementedError" in real["error"]
+
+    with pytest.raises(ValueError, match="unknown media op"):
+        media_transform(df, op="rotate")
+    with pytest.raises(ValueError, match="resize requires"):
+        media_transform(df, op="resize", width=10)
+
+
 def test_media_real_decode_pure_functions():
     # parser-level pins without Spark: GIF with global color table and an
     # extension block; JPEG with restart/fill markers before SOF2

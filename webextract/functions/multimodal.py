@@ -197,3 +197,93 @@ def media_features(media: DataFrame, backend: str = "fake") -> DataFrame:
     """(media_id, payload, kind) → typed feature rows via Arrow batches."""
     slim = media.select("media_id", "payload", "kind")
     return slim.mapInPandas(make_media_batches(backend), MEDIA_FEATURES_SCHEMA)
+
+
+MEDIA_TRANSFORM_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), True),
+    StructField("op", StringType(), False),
+    StructField("width", IntegerType(), True),      # post-transform dims
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),   # post-sample count
+    StructField("digest", StringType(), True),      # transformed content id
+    StructField("error", StringType(), True),
+])
+
+
+def media_transform(media: DataFrame, op: str,
+                    width: int | None = None, height: int | None = None,
+                    frame_every: int | None = None,
+                    backend: str = "fake") -> DataFrame:
+    """Media transform plumbing over Arrow batches: ``op`` is ``resize``
+    (target width×height, aspect ignored) or ``frame_sample`` (keep every
+    ``frame_every``-th frame of a video/animation).
+
+    ``backend="fake"`` applies the transform to the md5-derived fake
+    decode: output dims are the clamped targets, sampled frame count is
+    ``ceil(n/frame_every)``, and the content digest is
+    ``md5(src_digest || ':' || op spec)`` — deterministic and exactly
+    SQL-mirrorable, so the batching/partitioning/schema plumbing is
+    oracle-checked end to end. ``backend="real"`` performs the header
+    decode first (so dims/frames are real) and then reports a per-row
+    error for the pixel stage: actual resampling needs a codec library
+    this environment does not ship — the documented seam, with the
+    Spark-side plumbing identical between backends.
+    """
+    if op == "resize":
+        if not width or not height:
+            raise ValueError("resize requires width and height")
+        spec = f"resize:{width}x{height}"
+    elif op == "frame_sample":
+        if not frame_every or frame_every < 1:
+            raise ValueError("frame_sample requires frame_every >= 1")
+        spec = f"frame_sample:{frame_every}"
+    else:
+        raise ValueError(f"unknown media op {op!r}")
+    decode = _fake_decode if backend == "fake" else _real_decode
+
+    def clamp(x: int) -> int:
+        return max(1, min(int(x), 8192))
+
+    def transform_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        rows = []
+        for batch in batches:
+            for mid, payload, kind in zip(
+                batch["media_id"], batch["payload"], batch["kind"]
+            ):
+                row = {"media_id": mid, "kind": kind, "op": op,
+                       "width": None, "height": None, "n_frames": None,
+                       "digest": None, "error": None}
+                try:
+                    if payload is None:
+                        row["error"] = "null payload"
+                    else:
+                        src = decode(bytes(payload), kind)
+                        if backend != "fake":
+                            raise NotImplementedError(
+                                "pixel-stage transforms need a codec "
+                                "library (PIL/ffmpeg); header metadata "
+                                "decoded, resampling is the seam")
+                        if op == "resize":
+                            row["width"] = clamp(width)
+                            row["height"] = clamp(height)
+                            row["n_frames"] = src["n_frames"]
+                        else:
+                            row["width"] = src["width"]
+                            row["height"] = src["height"]
+                            n = src["n_frames"]
+                            row["n_frames"] = (
+                                math.ceil(n / frame_every)
+                                if n is not None else None)
+                        row["digest"] = hashlib.md5(
+                            f"{src['digest']}:{spec}".encode()).hexdigest()
+                except Exception as exc:
+                    row["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(row)
+            yield pd.DataFrame.from_records(rows)
+            rows = []
+
+    slim = media.select("media_id", "payload", "kind")
+    return slim.mapInPandas(transform_batches, MEDIA_TRANSFORM_SCHEMA)
