@@ -231,10 +231,10 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    from webextract.functions.text import norm_text, winnow_fingerprint
+    from webextract.functions.text import with_winnow_fingerprint
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", winnow_fingerprint(norm_text("text")).alias("winnow_fp"))
+    return with_winnow_fingerprint(_docs(spark, sf_dir)) \
+        .select("doc_id", "winnow_fp")
 
 
 def q_lang_id(spark, sf_dir):

@@ -65,9 +65,11 @@ WARMUP_PATH = PAGES_PATH.replace(".parquet", "_warmup.parquet")
 HEADLINE = [
     "extract_text", "extract_spans", "block_scores", "dedup_exact",
     "simhash", "jaccard_pairs",
-    "knn_cosine",
+    "knn_cosine", "near_dup_embeddings_lsh",
     "lang_id", "quality_scores", "token_counts_by_source",
-    "events_confusion", "events_windowed", "media_features",
+    "token_stats", "winnow_fingerprints",
+    "events_confusion", "events_windowed",
+    "media_features", "media_resize", "media_frame_sample",
     "ann_lsh_topk", "ann_ivf_topk",
 ]
 
@@ -77,7 +79,7 @@ HEADLINE = [
 # independent queries that each re-derive shingles from scratch. Keys stay
 # comparable with r1/r2.
 DEDUP_STAGES = ("minhash_signatures", "lsh_candidates", "near_dup_docs",
-                "dup_groups", "curated_docs")
+                "dup_groups", "curated_docs", "curated_docs_transitive")
 
 
 def make_session(cores: int):
@@ -402,6 +404,11 @@ def dedup_stage_runs(spark, timings: dict[str, float]) -> None:
         timings["curated_docs"] = _timed(lambda: noop_write(
             curate_corpus(corpus, min_quality=0.5, threshold=0.8,
                           candidates=cands, pairs=pairs, scope=qscope)))
+    with cache_scope() as qscope:
+        timings["curated_docs_transitive"] = _timed(lambda: noop_write(
+            curate_corpus(corpus, min_quality=0.5, threshold=0.8,
+                          candidates=cands, pairs=pairs, transitive=True,
+                          scope=qscope)))
     for name in DEDUP_STAGES:
         print(f"[bench] {name} (staged): {timings[name]}s", file=sys.stderr)
 

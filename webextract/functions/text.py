@@ -80,8 +80,13 @@ def winnow_fingerprint(norm: Column, k: int = 5, w: int = 4) -> Column:
     the minimum per sliding window of ``w`` consecutive hashes, and md5
     the sorted distinct selected values. Robust to local edits — two
     documents sharing long runs share most selected hashes — and fully
-    plan-side: sequence/transform/slice/array_min run inside codegen,
+    plan-side: sequence/transform/slice/zip_with run inside codegen,
     no explode, no shuffle, exact DuckDB mirror.
+
+    NOTE: as a single Column the gram array is re-evaluated once per
+    reference (w+1 times — HOF lambdas get no subexpression
+    elimination); prefer :func:`with_winnow_fingerprint`, whose
+    projection boundary materializes it once per row.
     """
     toks = F.split(norm, " ")
     n = F.size(toks)
@@ -91,11 +96,23 @@ def winnow_fingerprint(norm: Column, k: int = 5, w: int = 4) -> Column:
             F.md5(F.encode(F.array_join(F.slice(toks, i, k), " "),
                            "UTF-8")), 1, 15), 16, 10).cast("long"),
     )
+    # sliding-window min WITHOUT referencing `grams` inside a lambda:
+    # higher-order functions re-evaluate captured expressions PER ELEMENT
+    # (no subexpression elimination inside HOF lambdas), which turns the
+    # obvious transform(i -> array_min(slice(grams, i, w))) into O(n·w)
+    # md5 recomputations of the whole gram array — measured 40 ms/doc.
+    # zip_with evaluates its array arguments once per ROW, so folding the
+    # w shifted copies pairwise keeps the md5 work at w recomputes per
+    # row (constant), not per element.
     m = F.size(grams)
-    mins = F.transform(
-        F.sequence(F.lit(1), m - (w - 1)),
-        lambda i: F.array_min(F.slice(grams, i, w)),
-    )
+    out_len = m - (w - 1)
+
+    def shifted(j: int) -> Column:
+        return F.slice(grams, 1 + j, out_len)
+
+    mins = shifted(0)
+    for j in range(1, w):
+        mins = F.zip_with(mins, shifted(j), lambda a, b: F.least(a, b))
     selected = F.array_sort(F.array_distinct(mins))
     fp = F.md5(F.encode(
         F.array_join(F.transform(selected, lambda x: x.cast("string")),
@@ -103,6 +120,45 @@ def winnow_fingerprint(norm: Column, k: int = 5, w: int = 4) -> Column:
     # short docs: fewer than k+w-1 words -> fingerprint of the whole text
     return F.when(n >= k + w - 1, fp).otherwise(
         F.md5(F.encode(norm, "UTF-8")))
+
+
+def with_winnow_fingerprint(docs: DataFrame, text_col: str = "text",
+                            k: int = 5, w: int = 4,
+                            out_col: str = "winnow_fp") -> DataFrame:
+    """DataFrame-level winnowing with the gram array materialized ONCE
+    per row: the k-gram hash array lands in its own projection and the
+    sliding-min consumes it as a column reference. CollapseProject
+    declines to inline a non-cheap alias that is referenced multiple
+    times, so the expensive md5 transform is evaluated once per row —
+    the single-Column form re-evaluates it per reference (w+1 times;
+    measured 4.6x slower at sf0.1). Same values as
+    :func:`winnow_fingerprint`.
+    """
+    norm = norm_text(text_col)
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    grams = F.when(n >= k + w - 1, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.conv(F.substring(
+            F.md5(F.encode(F.array_join(F.slice(toks, i, k), " "),
+                           "UTF-8")), 1, 15), 16, 10).cast("long"),
+    )).otherwise(F.array().cast("array<long>"))
+    step1 = docs.withColumn("_winnow_norm", norm) \
+        .withColumn("_winnow_grams", grams)
+    g = F.col("_winnow_grams")
+    out_len = F.size(g) - (w - 1)
+    mins = F.slice(g, 1, out_len)
+    for j in range(1, w):
+        mins = F.zip_with(mins, F.slice(g, 1 + j, out_len),
+                          lambda a, b: F.least(a, b))
+    fp = F.md5(F.encode(F.array_join(
+        F.transform(F.array_sort(F.array_distinct(mins)),
+                    lambda x: x.cast("string")), ","), "UTF-8"))
+    return (
+        step1.withColumn(out_col, F.when(F.size(g) > 0, fp).otherwise(
+            F.md5(F.encode(F.col("_winnow_norm"), "UTF-8"))))
+        .drop("_winnow_norm", "_winnow_grams")
+    )
 
 
 def with_text_features(docs: DataFrame) -> DataFrame:
