@@ -46,3 +46,47 @@ def test_unknown_key_rejected_through_chain(tmp_path):
     (tmp_path / "child.json").write_text(json.dumps({"_base_": "base.json"}))
     with pytest.raises(SystemExit, match="unknown config keys"):
         load_config(str(tmp_path / "child.json"))
+
+
+def test_cli_dedup_stages_then_staged_curate(spark, tmp_path, capsys):
+    """CLI drive of the staged production shape: materialize the dedup
+    stages of a corpus snapshot, then curate consuming them — identical
+    survivors to the fused run."""
+    from pyspark.sql import Row
+
+    from webextract.__main__ import main
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "a field of tall green grass while the sun is warm and the "
+            "wind is soft in the valley near the river bend where birds "
+            "sing")
+    rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=base),
+            Row(doc_id=3, text=base.rsplit(" ", 1)[0] + " hum"),
+            Row(doc_id=4, text="ab cd")]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(rows).write.parquet(docs_path)
+
+    stages = str(tmp_path / "stages")
+    assert main(["dedup-stages", "--input", docs_path,
+                 "--output", stages]) == 0
+    st_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st_summary["signatures"] == 4 and st_summary["pairs"] >= 1
+
+    fused_out = str(tmp_path / "fused")
+    assert main(["curate", "--input", docs_path, "--output", fused_out,
+                 "--min-quality", "0.3"]) == 0
+    fused_summary = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    staged_out = str(tmp_path / "staged")
+    assert main(["curate", "--input", docs_path, "--output", staged_out,
+                 "--min-quality", "0.3", "--stages", stages,
+                 "--transitive"]) == 0
+    staged_summary = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert staged_summary["staged"] is True
+    fused = sorted(r["doc_id"]
+                   for r in spark.read.parquet(fused_out).collect())
+    staged = sorted(r["doc_id"]
+                    for r in spark.read.parquet(staged_out).collect())
+    assert fused == staged == [1]
+    assert fused_summary["rows_out"] == staged_summary["rows_out"] == 1

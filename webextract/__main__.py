@@ -59,9 +59,7 @@ def load_config(path: str | None) -> ExtractConfig:
     return ExtractConfig(**raw)
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="webextract",
-                                description=__doc__.splitlines()[0])
+def _add_extract_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input", required=True,
                    help="pages parquet path or table name")
     p.add_argument("--output", required=True, help="extracted sink path")
@@ -82,25 +80,123 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sink-table", action="store_true",
                    help="treat --output as a catalog table identifier "
                         "instead of a filesystem path")
+
+
+def _add_corpus_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input", required=True,
+                   help="documents parquet path (id + text columns)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="near-dup Jaccard threshold")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # legacy invocation: bare flags == the extract command
+    if argv and argv[0].startswith("-"):
+        argv = ["extract"] + argv
+    p = argparse.ArgumentParser(prog="webextract",
+                                description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="command", required=True)
+    _add_extract_args(sub.add_parser(
+        "extract", help="HTML/PDF -> text + spans (resumable)"))
+    stages = sub.add_parser(
+        "dedup-stages",
+        help="materialize the near-dup stages of a corpus snapshot: "
+             "{out}/signatures, {out}/candidates, {out}/pairs")
+    _add_corpus_args(stages)
+    stages.add_argument("--output", required=True, help="stage directory")
+    curate = sub.add_parser(
+        "curate",
+        help="quality gate -> exact dedup -> near-dup drop; survivors to "
+             "parquet")
+    _add_corpus_args(curate)
+    curate.add_argument("--output", required=True, help="survivors path")
+    curate.add_argument("--min-quality", type=float, default=0.3)
+    curate.add_argument("--transitive", action="store_true",
+                        help="one survivor per near-dup connected "
+                             "component (vs greedy pairwise drop)")
+    curate.add_argument("--stages", default=None,
+                        help="dedup-stages output dir: candidates/pairs "
+                             "are consumed instead of recomputed")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("webextract").getOrCreate()
     ship_package(spark)
-    cfg = load_config(args.config)
-    opts = PipelineOptions(num_partitions=args.partitions,
-                           giant_bytes=args.giant_bytes,
-                           scan_mode=args.scan_mode,
-                           sink_format=args.sink_format,
-                           sink_is_table=args.sink_table)
-    pages = read_pages(spark, args.input)
-    summary = run_extraction(spark, pages, args.output,
-                             metrics_path=args.metrics, cfg=cfg, opts=opts,
-                             run_id=args.run_id,
-                             partition_by_date=args.partition_by_date)
+    if args.command == "extract":
+        cfg = load_config(args.config)
+        opts = PipelineOptions(num_partitions=args.partitions,
+                               giant_bytes=args.giant_bytes,
+                               scan_mode=args.scan_mode,
+                               sink_format=args.sink_format,
+                               sink_is_table=args.sink_table)
+        pages = read_pages(spark, args.input)
+        summary = run_extraction(spark, pages, args.output,
+                                 metrics_path=args.metrics, cfg=cfg,
+                                 opts=opts, run_id=args.run_id,
+                                 partition_by_date=args.partition_by_date)
+    elif args.command == "dedup-stages":
+        summary = _run_dedup_stages(spark, args)
+    else:
+        summary = _run_curate(spark, args)
     print(json.dumps(summary))
     return 0
+
+
+def _run_dedup_stages(spark, args) -> dict:
+    """Materialize the production dedup stages once per corpus snapshot;
+    downstream consumers (curate --stages, analytics) read them back as
+    plain scans instead of re-deriving the MinHash stack."""
+    from .functions.cache import cache_scope
+    from .functions.dedup import (
+        lsh_candidate_pairs, near_duplicate_docs, with_minhash,
+    )
+
+    docs = spark.read.parquet(args.input)
+    out = args.output.rstrip("/")
+    with cache_scope() as scope:
+        sig = with_minhash(docs, args.id_col, args.text_col)
+        sig.write.mode("overwrite").parquet(f"{out}/signatures")
+        sig = spark.read.parquet(f"{out}/signatures")
+        cands = lsh_candidate_pairs(sig, persist_bands=False)
+        cands.write.mode("overwrite").parquet(f"{out}/candidates")
+        cands = spark.read.parquet(f"{out}/candidates")
+        pairs = near_duplicate_docs(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            threshold=args.threshold, candidates=cands, scope=scope)
+        pairs.write.mode("overwrite").parquet(f"{out}/pairs")
+    return {
+        "signatures": spark.read.parquet(f"{out}/signatures").count(),
+        "candidates": spark.read.parquet(f"{out}/candidates").count(),
+        "pairs": spark.read.parquet(f"{out}/pairs").count(),
+    }
+
+
+def _run_curate(spark, args) -> dict:
+    from .functions.cache import cache_scope
+    from .functions.curate import curate_corpus
+
+    docs = spark.read.parquet(args.input)
+    candidates = pairs = None
+    if args.stages:
+        st = args.stages.rstrip("/")
+        candidates = spark.read.parquet(f"{st}/candidates")
+        pairs = spark.read.parquet(f"{st}/pairs")
+    with cache_scope() as scope:
+        survivors = curate_corpus(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            min_quality=args.min_quality, threshold=args.threshold,
+            candidates=candidates, pairs=pairs,
+            transitive=args.transitive, scope=scope)
+        survivors.write.mode("overwrite").parquet(args.output)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output).count()
+    return {"rows_in": n_in, "rows_out": n_out,
+            "dropped": n_in - n_out, "transitive": args.transitive,
+            "staged": bool(args.stages)}
 
 
 if __name__ == "__main__":
