@@ -104,7 +104,7 @@ TAG_CLASS_MAP: dict[str, str] = {
 }
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class ExtractConfig:
     """Deterministic extraction parameters.
 

@@ -42,6 +42,7 @@ import hashlib
 import re
 from dataclasses import dataclass
 from html.parser import HTMLParser
+from typing import NamedTuple
 
 from .config import (
     BLOCK_TAGS,
@@ -53,6 +54,10 @@ from .config import (
     TAG_CLASS_MAP,
     VOID_TAGS,
 )
+
+# closing a void tag is a no-op; precomputing the difference turns the
+# hot end_tag membership test into one frozenset lookup instead of two
+_BLOCK_NONVOID_TAGS = frozenset(BLOCK_TAGS) - frozenset(VOID_TAGS)
 
 # ---------------------------------------------------------------------------
 # byte decoding (analog of image decode S3/S4, utils/image_utils.py:84-168:
@@ -118,7 +123,7 @@ def _normalize_ws(raw: str) -> str:
     return " ".join(raw.split())
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One layout block — the DOM analog of a connected pixel region."""
 
@@ -177,7 +182,8 @@ class _BlockBuilder:
 
     def start_tag(self, tag: str) -> None:
         if tag in SKIP_CONTENT_TAGS:
-            self.flush()
+            if self._cur is not None:
+                self.flush()
             self._skip_stack.append(tag)
             return
         if self._skip_stack:
@@ -186,7 +192,8 @@ class _BlockBuilder:
             self._anchor_depth += 1
             return
         if tag in BLOCK_TAGS:
-            self.flush()
+            if self._cur is not None:
+                self.flush()
             if tag in MARGINAL_ANCESTOR_TAGS:
                 self._marginal_depth += 1
             if tag not in VOID_TAGS:
@@ -203,7 +210,8 @@ class _BlockBuilder:
                 # that is NOT open is ignored — it is raw content
                 while stack and stack.pop() != tag:
                     pass
-            self.flush()
+            if self._cur is not None:
+                self.flush()
             return
         if self._skip_stack:
             return
@@ -211,8 +219,12 @@ class _BlockBuilder:
             if self._anchor_depth:
                 self._anchor_depth -= 1
             return
-        if tag in BLOCK_TAGS and tag not in VOID_TAGS:
-            self.flush()
+        if tag in _BLOCK_NONVOID_TAGS:
+            # the None guard at each call site skips ~2 no-op flush()
+            # calls per tag event on real pages (most tag closes arrive
+            # with no open text block)
+            if self._cur is not None:
+                self.flush()
             stack = self._block_stack
             # fast path: properly nested markup closes the top of stack
             if stack and stack[-1] == tag:
@@ -340,10 +352,17 @@ def tokenize_blocks(html_text: str) -> list[Block]:
             pos = lt + 1
             continue
         pos = m.end()
-        start_name, attrs, end_name = m.group(1, 2, 3)
-        if start_name is not None:
-            tag = start_name.lower()
+        # lastindex dispatch: end tags match only group 3, start tags
+        # match groups 1-2 (2 may be empty but still participates),
+        # comments/doctypes/PIs match no group — avoids materializing a
+        # 3-tuple of groups per tag event
+        li = m.lastindex
+        if li == 3:
+            end_tag(m.group(3).lower())
+        elif li is not None:
+            tag = m.group(1).lower()
             start_tag(tag)
+            attrs = m.group(2)
             if attrs and attrs.rstrip().endswith("/"):
                 end_tag(tag)  # self-closing
             elif tag in _RAWTEXT_TAGS:
@@ -354,8 +373,6 @@ def tokenize_blocks(html_text: str) -> list[Block]:
                     end_tag(tag)
                     break  # unterminated rawtext swallows the rest
                 pos = close  # skip raw content; end tag parsed next loop
-        elif end_name is not None:
-            end_tag(end_name.lower())
     b.flush()
     return b.blocks
 
@@ -430,8 +447,11 @@ def _span_id_factory(url: str):
     return make
 
 
-@dataclass(frozen=True)
-class Span:
+# NamedTuple (not frozen dataclass): hundreds of thousands of spans are
+# built per Arrow batch, and a frozen dataclass pays object.__setattr__
+# per field at construction; NamedTuple builds at C speed with the same
+# immutability and attribute access
+class Span(NamedTuple):
     span_id: str
     region_class: str
     region_type: str
@@ -441,8 +461,7 @@ class Span:
     confidence: float
 
 
-@dataclass(frozen=True)
-class LineSpan:
+class LineSpan(NamedTuple):
     """Text-line sub-span — the P7/P8 analog: the reference traces
     per-component baselines (``baseline_extractor.py:97-126``) and nests
     TextLines under their region (``output_page_xml.py:266-288``); here a
@@ -456,8 +475,7 @@ class LineSpan:
     line_order: int
 
 
-@dataclass(frozen=True)
-class ExtractResult:
+class ExtractResult(NamedTuple):
     text: str
     spans: tuple[Span, ...]
     line_spans: tuple[LineSpan, ...] = ()
@@ -492,31 +510,20 @@ def assemble_spans(url: str, kept: list[tuple[str, float, str]],
         # output_page_xml.py:245)
         conf = round(sum(confs) / len(confs), 6)
         sid = make_id(cls, start)
-        spans.append(
-            Span(
-                span_id=sid,
-                region_class=cls,
-                region_type=REGION_TYPES[cls],
-                char_start=start,
-                char_end=end,
-                reading_order=order,
-                confidence=conf,
-            )
-        )
+        # positional NamedTuple construction (field order pinned by the
+        # class): ~300k spans per Arrow batch make the kwargs path
+        # measurable
+        spans.append(Span(sid, cls, REGION_TYPES[cls], start, end,
+                          order, conf))
         if cfg.emit_line_spans:
             # P7/P8 analog: each merged block is one text line of the span
             line_off = start
+            line_cls = f"line:{cls}"
             for i, text in enumerate(texts):
-                line_spans.append(
-                    LineSpan(
-                        line_id=make_id(f"line:{cls}", line_off),
-                        parent_span_id=sid,
-                        char_start=line_off,
-                        char_end=line_off + len(text),
-                        line_order=i,
-                    )
-                )
-                line_off += len(text) + 1
+                line_end = line_off + len(text)
+                line_spans.append(LineSpan(make_id(line_cls, line_off),
+                                           sid, line_off, line_end, i))
+                line_off = line_end + 1
         parts.append(chunk)
         offset = end + 1  # +1 for the joining "\n"
 
