@@ -171,6 +171,18 @@ def q_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(with_minhash(_dup_corpus(spark, sf_dir)))
 
 
+def q_minhash_wide(spark, sf_dir):
+    # r×b tuning surface: 8 hashes (2 md5 groups per shingle) — the
+    # production recall/precision knob beyond the 4-hash default
+    return with_minhash(_dup_corpus(spark, sf_dir), n_hashes=8)
+
+
+def q_lsh_candidates_wide(spark, sf_dir):
+    return lsh_candidate_pairs(
+        with_minhash(_dup_corpus(spark, sf_dir), n_hashes=8),
+        n_hashes=8, band_size=2)
+
+
 def q_simhash(spark, sf_dir):
     return simhash16(_docs(spark, sf_dir))
 
@@ -427,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
+        "minhash_wide": q_minhash_wide,
+        "lsh_candidates_wide": q_lsh_candidates_wide,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_docs": q_near_dup_docs,
@@ -461,12 +475,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _sql_minhash_select() -> str:
-    # mirror of dedup.with_minhash: hash k = k-th 8-hex slice of ONE md5
+def _sql_minhash_select(n_hashes: int = 4) -> str:
+    # mirror of dedup.with_minhash: hash k = (k%4)-th 8-hex slice of
+    # digest group g=k//4 (group 0: md5(x); group g>0: md5('g:' || x))
     cols = []
-    for k in range(4):
-        h = (f"CAST(CAST('0x' || substr(md5(x), {1 + 8 * k}, 8) AS UBIGINT)"
-             " AS BIGINT)")
+    for k in range(n_hashes):
+        g, j = k // 4, k % 4
+        x = "x" if g == 0 else f"'{g}:' || x"
+        h = (f"CAST(CAST('0x' || substr(md5({x}), {1 + 8 * j}, 8)"
+             " AS UBIGINT) AS BIGINT)")
         cols.append(f"list_min(list_transform(sh, x -> {h})) AS mh{k}")
     return ", ".join(cols)
 
@@ -507,7 +524,10 @@ def _sql_neardup_ctes(threshold: float = 0.8) -> str:
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
-    ds AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS sh FROM s),
+    -- verify joins exchange hash60(shingle) ints, not n-gram strings
+    -- (mirror of dedup.candidate_shingle_sets)
+    ds AS (SELECT DISTINCT doc_id AS id, {_H60.format(x='sh')} AS sh
+           FROM (SELECT doc_id, unnest(sh) AS sh FROM s) u),
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -524,6 +544,20 @@ def _sql_neardup_ctes(threshold: float = 0.8) -> str:
       WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
             >= {threshold})
     """
+
+
+def _sql_bands(n_hashes: int = 4, band_size: int = 2) -> str:
+    """Mirror of dedup.lsh_candidate_pairs banding over a ``sig`` CTE:
+    band key = md5(band_idx || '|' || mh.. joined by '|')."""
+    parts = []
+    for b in range(n_hashes // band_size):
+        cols = " || '|' || ".join(
+            f"CAST(mh{b * band_size + j} AS VARCHAR)"
+            for j in range(band_size))
+        parts.append(
+            f"SELECT doc_id, md5('{b}' || '|' || {cols}) AS band_key\n"
+            "      FROM sig WHERE mh0 IS NOT NULL")
+    return "\n      UNION ALL\n      ".join(parts)
 
 
 # connected components over verified pairs: min reachable id per node —
@@ -649,10 +683,24 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         """,
+        "minhash_wide": f"""
+            WITH corpus AS ({corpus}), {_SHINGLE_SQL}
+            SELECT doc_id, {_sql_minhash_select(8)} FROM s
+        """,
+        "lsh_candidates_wide": f"""
+            WITH corpus AS ({corpus}), {_SHINGLE_SQL},
+            sig AS (SELECT doc_id, {_sql_minhash_select(8)} FROM s),
+            bands AS (
+              {_sql_bands(8, 2)})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
         "simhash": _sql_simhash(),
         "jaccard_pairs": f"""
             WITH corpus AS ({corpus}), {_SHINGLE_SQL},
-            ds AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM s),
+            ds AS (SELECT DISTINCT doc_id, {_H60.format(x='sh')} AS sh
+                   FROM (SELECT doc_id, unnest(sh) AS sh FROM s) u),
             sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

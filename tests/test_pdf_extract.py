@@ -51,6 +51,61 @@ def test_pdf_corrupt_total():
     assert extract_pdf("u", b"%PDF-1.4 garbage \xff\x00").spans == ()
 
 
+def test_pdf_flate_byte_identical_to_raw():
+    # the crawl-real shape: same content, Flate-compressed — extraction
+    # must be byte-identical to the uncompressed variant
+    title, paras = "A Title Here", ["first paragraph text", "second one"]
+    raw = extract_pdf("u", make_pdf(title, paras))
+    comp = extract_pdf("u", make_pdf(title, paras, compress=True))
+    assert comp.text == raw.text
+    assert comp.spans == raw.spans
+
+
+def test_pdf_flate_body_containing_endstream_bytes():
+    # a deflate body may legally contain the bytes b"endstream"; the
+    # /Length-honoring boundary must not truncate it
+    import zlib
+
+    import zlib
+
+    stream = b"BT /F1 11 Tf 0 0 Td (text with endstream inside it) Tj ET"
+    # stored (level-0) deflate blocks copy bytes verbatim, so the binary
+    # body literally contains b"endstream" while being a valid zlib stream
+    co = zlib.compressobj(0)
+    body = co.compress(stream) + co.flush()
+    assert b"endstream" in body
+    pdf = (b"%PDF-1.4\n2 0 obj << /Length " + str(len(body)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + body
+           + b"\nendstream\nendobj\n%%EOF\n")
+    r = extract_pdf("u", pdf)
+    assert r.text == "text with endstream inside it"
+
+
+def test_pdf_flate_corrupt_stream_skipped_keeps_rest():
+    import zlib
+
+    good = zlib.compress(b"BT /F1 11 Tf 0 0 Td (good flate text) Tj ET", 6)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"2 0 obj << /Length 12 /Filter /FlateDecode >>\n"
+        b"stream\nnot-deflate!\nendstream\nendobj\n"
+        b"3 0 obj << /Length " + str(len(good)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + good
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    r = extract_pdf("u", pdf)
+    assert r.text == "good flate text"
+
+
+def test_pdf_length_mismatch_falls_back_to_scan():
+    # indirect /Length (e.g. "5 0 R") or a wrong direct one: the scan
+    # fallback still finds the uncompressed body
+    pdf = (b"%PDF-1.4\n2 0 obj << /Length 99999 >>\nstream\n"
+           b"BT /F1 11 Tf 0 0 Td (scan fallback text) Tj ET\n"
+           b"endstream\nendobj\n%%EOF\n")
+    assert extract_pdf("u", pdf).text == "scan fallback text"
+
+
 def test_unescape():
     assert _unescape_pdf_string(rb"a\(b\)c\\d\n") == "a(b)c\\d\n"
     assert _unescape_pdf_string(rb"\101\102") == "AB"

@@ -41,17 +41,30 @@ def _nav_links(r: random.Random, n: int) -> str:
     )
 
 
-def make_pdf(title: str, paragraphs: list[str]) -> bytes:
-    """Minimal valid-enough uncompressed PDF with one title + paragraphs."""
+def make_pdf(title: str, paragraphs: list[str],
+             compress: bool = False) -> bytes:
+    """Minimal valid-enough PDF with one title + paragraphs.
+
+    ``compress=True`` deflates the content stream and declares
+    ``/Filter /FlateDecode`` — the real-world shape (virtually every
+    crawled PDF is Flate-compressed); extraction must be byte-identical
+    to the uncompressed variant of the same content.
+    """
+    import zlib
+
     stream_parts = [f"BT /F1 18 Tf 72 720 Td ({title}) Tj ET"]
     y = 690
     for p in paragraphs:
         stream_parts.append(f"BT /F1 11 Tf 72 {y} Td ({p}) Tj ET")
         y -= 20
     stream = "\n".join(stream_parts).encode("latin-1")
+    filt = b""
+    if compress:
+        stream = zlib.compress(stream, 6)
+        filt = b" /Filter /FlateDecode"
     return (
         b"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
-        b"2 0 obj << /Length " + str(len(stream)).encode() + b" >>\n"
+        b"2 0 obj << /Length " + str(len(stream)).encode() + filt + b" >>\n"
         b"stream\n" + stream + b"\nendstream\nendobj\n%%EOF\n"
     )
 
@@ -129,9 +142,10 @@ def render_page(idx: int, seed: int = 42, giant_every: int = 1000,
             ).encode("latin-1")
         else:  # undeclared latin-1 bytes
             html = f"<html><body><p>{text}</p></body></html>".encode("latin-1")
-    elif template == 7:  # PDF branch
+    elif template == 7:  # PDF branch — alternate raw / Flate-compressed
         html = make_pdf(_sentence(r, 3),
-                        [_sentence(r, 9) for _ in range(2 * bs)])
+                        [_sentence(r, 9) for _ in range(2 * bs)],
+                        compress=(idx // 10) % 2 == 1)
     elif template == 8 and giant_every and idx % giant_every == 8:  # skew (t7)
         html = (
             "<html><body>" + f"<p>{_sentence(r, 10)}</p>" * giant_repeat

@@ -57,35 +57,43 @@ def with_minhash(docs: DataFrame, id_col: str = "doc_id",
                  n_hashes: int = N_MINHASH) -> DataFrame:
     """documents → (id, mh0..mh{n-1}) MinHash signatures, zero shuffle.
 
-    All ``n_hashes`` minhashes derive from ONE md5 per shingle: hash k is
-    the k-th 8-hex-char (32-bit) slice of the digest. One digest instead
-    of n per shingle is a 4x saving on the dominant cost, and 32-bit
-    minhashes are ample for banding (per-shingle collision p = 2^-32).
-    Requires ``n_hashes <= 4``.
+    Hash k is the (k % 4)-th 8-hex-char (32-bit) slice of digest group
+    ``g = k // 4``, where group 0 is ``md5(shingle)`` and group g > 0 is
+    ``md5('g:' || shingle)`` — one md5 per shingle per 4 hashes, so the
+    default width costs a single digest on the dominant path and wider
+    signatures (recall/precision tuning via r×b at production scale) pay
+    one extra digest per 4 additional hashes. 32-bit minhashes are ample
+    for banding (per-shingle collision p = 2^-32).
     """
-    assert n_hashes <= 4, "one md5 digest yields at most 4x32-bit slices"
+    assert n_hashes >= 1
+    n_groups = (n_hashes + 3) // 4
     norm = norm_text(text_col)
     sh = shingles(norm)
 
-    def _slice_hash(k: int):
-        # NB: must stay a 1-arg callable — F.transform/F.aggregate feed
-        # (element, index) to 2-arg callables, so a `_k=k` default would
-        # capture the array index instead of k
-        def f(d: Column) -> Column:
-            return F.conv(F.substring(d, 1 + 8 * k, 8), 16, 10).cast("long")
+    def _slice(d: Column, j: int) -> Column:
+        return F.conv(F.substring(d, 1 + 8 * j, 8), 16, 10).cast("long")
 
-        return f
+    def _digests(s: Column) -> Column:
+        # NB: 1-arg callable — F.transform feeds (element, index) to
+        # 2-arg callables, so loop-binding defaults would capture indices
+        return F.struct(*[
+            F.md5(F.encode(
+                s if g == 0 else F.concat(F.lit(f"{g}:"), s), "UTF-8"))
+            .alias(f"d{g}")
+            for g in range(n_groups)
+        ])
 
     # ONE fold over the digest array computes ALL minhashes: each shingle
-    # is md5'd exactly once (the digest is the fold's lambda variable, so
-    # Catalyst cannot duplicate the md5 per output column)
+    # is digested exactly once per group (the digest struct is the fold's
+    # lambda variable, so Catalyst cannot duplicate the md5 per column)
     sentinel = F.lit(1 << 62).cast("long")
     init = F.struct(*[sentinel.alias(f"mh{k}") for k in range(n_hashes)])
     agg = F.aggregate(
-        F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8"))),
+        F.transform(sh, _digests),
         init,
         lambda acc, d: F.struct(*[
-            F.least(acc[f"mh{k}"], _slice_hash(k)(d)).alias(f"mh{k}")
+            F.least(acc[f"mh{k}"], _slice(d[f"d{k // 4}"], k % 4))
+            .alias(f"mh{k}")
             for k in range(n_hashes)
         ]),
     )
@@ -204,10 +212,18 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     per-doc set relation is materialized once (``scope`` release
     contract): it feeds both self-join sides and the sizes projection,
     and with no exchange below the join there is otherwise nothing for
-    ReuseExchange to share — each side would re-shingle the corpus."""
+    ReuseExchange to share — each side would re-shingle the corpus.
+
+    Shingles are hashed to 60-bit ints (:func:`hash60`) BEFORE the
+    self-join: the exchange then moves 8-byte keys instead of ~15-byte×w
+    n-gram strings — a several-fold shuffle-byte cut at 100 TB — and
+    since the md5-derived hash is deterministic the DuckDB oracle stays
+    exact. Collisions (p ≈ n²/2^61 per doc pair) cannot produce a false
+    pair on their own; they could only nudge a count."""
     sets = resolve(scope).persist(docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(norm_text(text_col))).alias("shs")))
+        F.array_distinct(
+            F.transform(shingles(norm_text(text_col)), hash60)).alias("shs")))
     doc_shingles = sets.select("id", F.explode("shs").alias("sh"))
     sizes = sets.select("id", F.size("shs").alias("n_sh"))
     a = doc_shingles.select(F.col("id").alias("doc_a"), "sh")
@@ -283,7 +299,11 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # decimal(38,0) witness: a long sum wraps silently at 2^63, so with
+    # 64-bit doc ids at corpus scale a round's decrease could wrap past
+    # the modulus and falsely compare equal — decimal cannot
+    _wsum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_wsum).first()[0]
     if prev_sum is None:  # no pairs at all
         return labels.select(F.col("id").alias("doc_id"),
                              F.col("label").alias("group_id"))
@@ -307,7 +327,7 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
             .select("id", F.col("plabel").alias("label"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = labels.agg(_wsum).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -321,8 +341,11 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
 def candidate_shingle_sets(docs: DataFrame, cands: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
-    """(id, shs: array<string>) — the DISTINCT shingle set per doc that
-    appears in a candidate-pair set, one compact array row per doc.
+    """(id, shs: array<bigint>) — the DISTINCT hashed-shingle set per doc
+    that appears in a candidate-pair set, one compact array row per doc.
+    Shingles are :func:`hash60`-hashed at materialization so the verify
+    join exchanges 8-byte ints, not n-gram strings (and the persisted
+    relation is several-fold smaller).
 
     Two scale properties: the semi-join before shingling keeps the
     expensive materialization proportional to |candidates| (~linear for
@@ -344,7 +367,7 @@ def candidate_shingle_sets(docs: DataFrame, cands: DataFrame,
         docs.select(F.col(id_col).alias("id"), F.col(text_col))
         .join(cand_ids, "id", "left_semi")
         .select("id", F.array_distinct(
-            shingles(norm_text(text_col))).alias("shs"))
+            F.transform(shingles(norm_text(text_col)), hash60)).alias("shs"))
     )
 
 

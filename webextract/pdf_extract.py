@@ -1,13 +1,15 @@
 """Minimal deterministic PDF text-object parser — the PDF branch of the
 north star ("PDF layout parsing into region classes").
 
-Scope: *uncompressed* content streams with ``BT … ET`` text objects using
-``Tf`` (font select), ``Tj``/``'``/``TJ`` (show text), ``Td``/``TD``/``T*``
-(line moves). This covers the deterministic synthetic fixture PDFs; real-
-world compressed PDFs would require a decompression library that is not in
-this environment, so the ``/FlateDecode`` path is explicitly unimplemented
-(surfaced as a decode error, mirroring the reference's skip-on-corrupt
-contract at ``inference.py:344-346``).
+Scope: content streams with ``BT … ET`` text objects using ``Tf`` (font
+select), ``Tj``/``'``/``TJ`` (show text), ``Td``/``TD``/``T*`` (line
+moves). Streams are located by scanning ``stream…endstream`` directly (no
+xref walk — tolerates linearized / xref-damaged files), and streams whose
+object dictionary declares ``/FlateDecode`` are inflated with stdlib
+``zlib`` — which is exactly the Flate codec — so real-world compressed
+PDFs (virtually all of them) extract. A stream that fails to inflate is
+skipped, mirroring the reference's skip-on-corrupt contract at
+``inference.py:344-346``.
 
 Layout mapping: each ``BT … ET`` text object is one block; blocks written
 with a font size ≥ ``_HEADER_MIN_PT`` classify as ``header``, else
@@ -20,13 +22,15 @@ ids) is shared with the HTML branch via
 from __future__ import annotations
 
 import re
+import zlib
 
 from .config import ExtractConfig, DEFAULT_CONFIG
 from .html_extract import ExtractResult, _normalize_ws, assemble_spans
 
 _HEADER_MIN_PT = 14.0
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _TF_RE = re.compile(rb"/\S+\s+(\d+(?:\.\d+)?)\s+Tf")
 # tokens inside a text object we care about, in order
@@ -104,6 +108,57 @@ def is_pdf(payload: bytes) -> bool:
     return payload.lstrip()[:5] == b"%PDF-"
 
 
+def _iter_streams(payload: bytes):
+    """Yield ``(dict_head, body)`` per ``stream…endstream`` object.
+
+    The body boundary honors the dict's ``/Length`` when it is a direct
+    integer that lands on an ``endstream`` keyword (binary Flate bodies
+    may legally contain the bytes ``endstream``, so a bare text scan can
+    truncate them); otherwise falls back to the first ``endstream`` scan,
+    which tolerates xref-less / indirect-Length / linearized layouts.
+    """
+    pos = prev_end = 0
+    while True:
+        m = _STREAM_START_RE.search(payload, pos)
+        if m is None:
+            return
+        head = payload[prev_end:m.start()]
+        start = m.end()
+        end = -1
+        lm = None
+        for lm in _LENGTH_RE.finditer(head):
+            pass  # last /Length in this object's dict wins
+        if lm is not None:
+            ln = int(lm.group(1))
+            cand = payload.find(b"endstream", start + ln)
+            if 0 <= cand <= start + ln + 4:  # allow EOL pad before keyword
+                end = start + ln
+                nxt = cand + len(b"endstream")
+        if end < 0:
+            cand = payload.find(b"endstream", start)
+            if cand < 0:
+                return
+            end = cand
+            nxt = cand + len(b"endstream")
+        yield head, payload[start:end]
+        pos = prev_end = nxt
+
+
+def _inflate(body: bytes) -> bytes | None:
+    """Inflate one /FlateDecode stream body; ``None`` on corrupt data.
+
+    ``decompressobj`` (not ``zlib.decompress``) so trailing bytes between
+    the deflate stream and ``endstream`` (writers pad with EOLs) are
+    ignored, and a truncated-but-started stream still yields its prefix.
+    """
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(body)
+    except zlib.error:
+        return None
+    return out if (out or d.eof) else None
+
+
 def extract_pdf(url: str, payload: bytes,
                 cfg: ExtractConfig = DEFAULT_CONFIG) -> ExtractResult:
     """PDF bytes → extracted text + typed spans (header/paragraph)."""
@@ -111,8 +166,11 @@ def extract_pdf(url: str, payload: bytes,
         payload = payload[: cfg.max_html_bytes]
     kept: list[tuple[str, float, str]] = []
     cur_size = 11.0
-    for sm in _STREAM_RE.finditer(payload):
-        body = sm.group(1)
+    for head, body in _iter_streams(payload):
+        if b"/FlateDecode" in head:
+            body = _inflate(body)
+            if body is None:
+                continue  # corrupt stream: skip, keep the rest of the doc
         for tm in _BT_ET_RE.finditer(body):
             text, used_size, cur_size = _parse_text_object(tm.group(1), cur_size)
             if len(text) < cfg.min_region_size:
