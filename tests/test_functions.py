@@ -299,6 +299,152 @@ def test_media_real_decode_pure_functions():
         _real_decode(b"RIFF....WAVE", "audio")
 
 
+def _encode_png(w, h, nch, pix, filters, color_type=None, plte=None):
+    """Test-side PNG encoder: applies the REQUESTED filter per scanline
+    (round-tripping proves decode's unfilter inverts every filter type)."""
+    import struct
+    import zlib
+
+    ct = color_type if color_type is not None else \
+        {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = pix[y * stride:(y + 1) * stride]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, nch - 1, -1):
+                enc[i] = (enc[i] - line[i - nch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                up = prev[i]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (up if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if plte:
+        body += chunk(b"PLTE", plte)
+    body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def _encode_bmp(w, h, pix, top_down=False):
+    import struct
+
+    nch, stride = 3, ((w * 3 + 3) // 4) * 4
+    rows = bytearray()
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        rows += pix[y * w * nch:(y + 1) * w * nch] + bytes(stride - w * nch)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, 24, 0, len(rows), 0, 0, 0, 0)
+    return hdr + info + bytes(rows)
+
+
+def test_png_pixel_decode_inverts_every_filter():
+    from webextract.functions.multimodal import _png_pixels
+
+    w, h, nch = 5, 5, 3
+    pix = bytes((7 * i + 3 * (i // w)) % 256 for i in range(w * h * nch))
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = _png_pixels(_encode_png(w, h, nch, pix, filters))
+        assert got == (w, h, nch, pix), f"filters={filters}"
+
+
+def test_png_pixel_decode_palette_and_rgba():
+    from webextract.functions.multimodal import _png_pixels
+
+    # palette: 2x2 indices over a 3-color PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = bytes([0, 1, 2, 0])
+    got = _png_pixels(_encode_png(2, 2, 1, idx, [0], color_type=3,
+                                  plte=plte))
+    assert got == (2, 2, 3,
+                   bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0]))
+    # RGBA round-trip with Paeth
+    pix = bytes(range(2 * 2 * 4))
+    assert _png_pixels(_encode_png(2, 2, 4, pix, [4]))[3] == pix
+
+
+def test_bmp_pixel_decode_padding_and_orientation():
+    from webextract.functions.multimodal import _bmp_pixels
+
+    w, h = 3, 2  # stride 9 -> padded to 12: exercises de-padding
+    pix = bytes(range(w * h * 3))
+    assert _bmp_pixels(_encode_bmp(w, h, pix)) == (w, h, 3, pix)
+    assert _bmp_pixels(_encode_bmp(w, h, pix, top_down=True)) \
+        == (w, h, 3, pix)
+
+
+def test_media_transform_real_pixel_resize(spark):
+    import numpy as np_
+    from webextract.functions.multimodal import media_transform
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    w, h = 4, 4
+    pix = bytes((11 * i) % 256 for i in range(w * h * 3))
+    png = _encode_png(w, h, 3, pix, [0, 2])
+    bmp = _encode_bmp(w, h, pix)
+    df = spark.createDataFrame([
+        Row(media_id=1, payload=png, kind="image"),
+        Row(media_id=2, payload=bmp, kind="image"),
+    ])
+    out = {r["media_id"]: r for r in media_transform(
+        df, op="resize", width=2, height=2, backend="real").collect()}
+    # expected: NN-resampled raw pixels, digested
+    arr = np_.frombuffer(pix, dtype=np_.uint8).reshape(h, w, 3)
+    expected = arr[::2][:, ::2].tobytes()
+    exp_digest = hashlib.md5(expected).hexdigest()
+    for mid in (1, 2):
+        assert out[mid]["error"] is None
+        assert (out[mid]["width"], out[mid]["height"]) == (2, 2)
+        assert out[mid]["digest"] == exp_digest
+    # upscale is also well-defined (no interpolation, index replication)
+    up = media_transform(
+        spark.createDataFrame([Row(media_id=3, payload=png, kind="image")]),
+        op="resize", width=8, height=8, backend="real").collect()[0]
+    ys = (np_.arange(8) * 4) // 8
+    assert up["digest"] == hashlib.md5(
+        arr[ys][:, ys].tobytes()).hexdigest()
+
+
+def test_media_transform_real_gif_frame_sample(spark):
+    from webextract.functions.multimodal import media_transform
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    out = media_transform(
+        spark.createDataFrame(
+            [Row(media_id=1, payload=_gif_bytes(8, 6, 5), kind="image")]),
+        op="frame_sample", frame_every=2, backend="real").collect()[0]
+    assert out["error"] is None
+    assert (out["width"], out["height"]) == (8, 6)
+    assert out["n_frames"] == 3  # ceil(5/2) over the REAL frame walk
+
+
 def test_ivf_ann_recall_and_exact_scores(spark):
     from webextract.functions.similarity import ivf_ann_topk
 
