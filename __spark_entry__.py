@@ -257,8 +257,9 @@ def q_lang_id(spark, sf_dir):
 
 def q_quality_scores(spark, sf_dir):
     return with_text_features(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "n_stop", "stop_ratio", "quality_score",
-        "fingerprint")
+        "doc_id", "n_tokens", "n_stop", "stop_ratio", "mean_word_len",
+        "symbol_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+        "quality_score", "fingerprint")
 
 
 def q_token_counts_by_source(spark, sf_dir):
@@ -1000,11 +1001,6 @@ def _curate_sql(min_quality: float = 0.5, threshold: float = 0.8,
     corpus: quality gate -> keep-first exact dedup -> LSH-candidate
     near-dup verify -> drop (greedy higher-id, or cluster-transitive
     non-representatives when ``transitive``)."""
-    from webextract.functions.text import STOPWORDS
-
-    stop_hits = " + ".join(
-        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-        for w in STOPWORDS)
     if transitive:
         tail = (f", {_SQL_GROUPS_TAIL} "
                 "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
@@ -1017,27 +1013,11 @@ def _curate_sql(min_quality: float = 0.5, threshold: float = 0.8,
                 "WHERE doc_id NOT IN (SELECT doc_b FROM pairs)")
     return f"""
     WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
-    n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM corpus),
-    t AS (SELECT doc_id, norm, ' ' || norm || ' ' AS p,
-                 CASE WHEN length(norm) = 0 THEN 0
-                      ELSE len(string_split(norm, ' ')) END AS n_tokens
-          FROM n),
-    f AS (SELECT doc_id, norm, n_tokens, ({stop_hits}) AS n_stop FROM t),
-    r AS (SELECT doc_id, norm, n_tokens,
-                 ROUND(CASE WHEN n_tokens > 0
-                            THEN n_stop / CAST(n_tokens AS DOUBLE)
-                            ELSE 0.0 END, 6) AS stop_ratio
-          FROM f),
-    q AS (SELECT doc_id, norm, n_tokens,
-                 ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0
-                             WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END
-                        + LEAST(stop_ratio * 4, 1.0)) / 2, 6)
-                   AS quality_score,
-                 md5(norm) AS fingerprint
-          FROM r),
-    p AS (SELECT * FROM q WHERE quality_score >= {min_quality}),
-    keep AS (SELECT MIN(doc_id) AS doc_id FROM p GROUP BY fingerprint),
-    s0 AS (SELECT p.* FROM p JOIN keep USING (doc_id)),
+    {_sql_quality_chain("corpus")},
+    pq AS (SELECT doc_id, norm, n_tokens, quality_score, fingerprint
+           FROM q WHERE quality_score >= {min_quality}),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM pq GROUP BY fingerprint),
+    s0 AS (SELECT pq.* FROM pq JOIN keep USING (doc_id)),
     tok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM s0),
     s AS (SELECT doc_id,
             CASE WHEN len(toks) >= 3
@@ -1050,56 +1030,129 @@ def _curate_sql(min_quality: float = 0.5, threshold: float = 0.8,
     """
 
 
+def _sql_occ(expr: str, needle_sql: str, nlen: int) -> str:
+    """Non-overlapping occurrence count via the length/replace trick —
+    the same portable expression the Spark side uses."""
+    return (f"CAST((length({expr}) - length(replace({expr}, {needle_sql},"
+            f" ''))) / {nlen} AS BIGINT)")
+
+
 def _lang_id_sql() -> str:
-    from webextract.functions.text import EN_MARKERS
+    """Mirror of text.lang_guess: per-language marker-hit ratios, argmax
+    with alphabetical tiebreak (CASE order), 'und' under the threshold."""
+    from webextract.functions.text import LANG_MARKERS, LANG_THRESHOLD
 
     norm = _NORM_SQL
-    hits = " + ".join(
-        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-        for w in EN_MARKERS)
+    codes = sorted(LANG_MARKERS)
+    ratio_cols = []
+    for code in codes:
+        hits = " + ".join(
+            _sql_occ("p", f"' {w} '", len(w) + 2)
+            for w in LANG_MARKERS[code])
+        ratio_cols.append(
+            f"CASE WHEN n_tokens > 0 THEN ({hits}) / CAST(n_tokens AS"
+            f" DOUBLE) ELSE 0.0 END AS r_{code}")
+    best = "greatest(" + ", ".join(f"r_{c}" for c in codes) + ")"
+    case = f"CASE WHEN {best} < {LANG_THRESHOLD} THEN 'und'"
+    for c in codes:
+        case += f" WHEN r_{c} = {best} THEN '{c}'"
+    case += " ELSE 'und' END"
     return f"""
         WITH n AS (SELECT lang, {norm} AS norm FROM documents),
         t AS (SELECT lang, ' ' || norm || ' ' AS p,
                      CASE WHEN length(norm) = 0 THEN 0
                           ELSE len(string_split(norm, ' ')) END AS n_tokens
               FROM n),
-        g AS (SELECT lang,
-                     CASE WHEN n_tokens > 0
-                               AND ({hits}) / CAST(n_tokens AS DOUBLE) >= 0.04
-                          THEN 'en' ELSE 'und' END AS guess_lang
-              FROM t)
+        r AS (SELECT lang, {', '.join(ratio_cols)} FROM t),
+        g AS (SELECT lang, {case} AS guess_lang FROM r)
         SELECT lang, guess_lang, COUNT(*) AS n_docs
         FROM g GROUP BY 1, 2
     """
 
 
-def _quality_sql() -> str:
-    from webextract.functions.text import STOPWORDS
+def _sql_quality_chain(src: str) -> str:
+    """CTE chain ``qn→qt→qf→qr→q`` over ``src``(…, doc_id, text):
+    mirror of text.with_text_features — ``q`` carries doc_id, norm,
+    n_tokens, n_stop, stop_ratio, mean_word_len, symbol_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, quality_score, fingerprint.
+    Line ratios count over the RAW text with chr(10) padding, exactly as
+    the Spark side pads with newlines."""
+    from webextract.functions.text import (
+        MAX_BULLET_LINE_RATIO, MAX_ELLIPSIS_LINE_RATIO, MAX_SYMBOL_RATIO,
+        MEAN_WORD_LEN_BAND, STOPWORDS, _BULLET_PREFIXES,
+        _ELLIPSIS_SUFFIXES,
+    )
 
-    norm = _NORM_SQL
     stop_hits = " + ".join(
-        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-        for w in STOPWORDS)
+        _sql_occ("p", f"' {w} '", len(w) + 2) for w in STOPWORDS)
+    symbol_hits = " + ".join([
+        _sql_occ("norm", "'#'", 1),
+        _sql_occ("norm", "'...'", 3),
+        _sql_occ("norm", "'…'", 1),
+    ])
+    bullet_hits = " + ".join(
+        _sql_occ("nlp", f"chr(10) || '{p[1:]}'", len(p))
+        for p in _BULLET_PREFIXES)
+    ellipsis_hits = " + ".join(
+        _sql_occ("nlp", f"'{s[:-1]}' || chr(10)", len(s))
+        for s in _ELLIPSIS_SUFFIXES)
+    lo, hi = MEAN_WORD_LEN_BAND
     return f"""
-        WITH n AS (SELECT doc_id, {norm} AS norm FROM documents),
-        t AS (SELECT doc_id, norm, ' ' || norm || ' ' AS p,
-                     CASE WHEN length(norm) = 0 THEN 0
-                          ELSE len(string_split(norm, ' ')) END AS n_tokens
-              FROM n),
-        f AS (SELECT doc_id, norm, n_tokens, ({stop_hits}) AS n_stop
-              FROM t),
-        r AS (SELECT doc_id, norm, n_tokens, n_stop,
-                     ROUND(CASE WHEN n_tokens > 0
-                                THEN n_stop / CAST(n_tokens AS DOUBLE)
-                                ELSE 0.0 END, 6) AS stop_ratio
-              FROM f)
+    qn AS (SELECT s.*, {_NORM_SQL} AS norm FROM {src} s),
+    qt AS (SELECT qn.*, ' ' || norm || ' ' AS p,
+                  chr(10) || text || chr(10) AS nlp,
+                  {_sql_occ("text", "chr(10)", 1)} + 1 AS n_lines,
+                  CASE WHEN length(norm) = 0 THEN 0
+                       ELSE len(string_split(norm, ' ')) END AS n_tokens
+           FROM qn),
+    qf AS (SELECT qt.*, ({stop_hits}) AS n_stop,
+                  ({symbol_hits}) AS n_symbols,
+                  ({bullet_hits}) AS n_bullet,
+                  ({ellipsis_hits}) AS n_ellipsis
+           FROM qt),
+    qr AS (SELECT qf.*,
+                  ROUND(CASE WHEN n_tokens > 0
+                             THEN n_stop / CAST(n_tokens AS DOUBLE)
+                             ELSE 0.0 END, 6) AS stop_ratio,
+                  ROUND(CASE WHEN n_tokens > 0
+                             THEN (length(norm) - (n_tokens - 1))
+                                  / CAST(n_tokens AS DOUBLE)
+                             ELSE 0.0 END, 6) AS mean_word_len,
+                  ROUND(CASE WHEN n_tokens > 0
+                             THEN n_symbols / CAST(n_tokens AS DOUBLE)
+                             ELSE 0.0 END, 6) AS symbol_ratio,
+                  ROUND(n_bullet / CAST(n_lines AS DOUBLE), 6)
+                    AS bullet_line_ratio,
+                  ROUND(n_ellipsis / CAST(n_lines AS DOUBLE), 6)
+                    AS ellipsis_line_ratio
+           FROM qf),
+    q AS (SELECT qr.*,
+                 ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0
+                             WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END
+                        + LEAST(stop_ratio * 4, 1.0)) / 2
+                       * CASE WHEN mean_word_len BETWEEN {lo} AND {hi}
+                              THEN 1.0 ELSE 0.0 END
+                       * CASE WHEN symbol_ratio <= {MAX_SYMBOL_RATIO}
+                              THEN 1.0 ELSE 0.0 END
+                       * CASE WHEN bullet_line_ratio
+                                   <= {MAX_BULLET_LINE_RATIO}
+                               AND ellipsis_line_ratio
+                                   <= {MAX_ELLIPSIS_LINE_RATIO}
+                              THEN 1.0 ELSE 0.0 END, 6)
+                   AS quality_score,
+                 md5(norm) AS fingerprint
+          FROM qr)
+    """
+
+
+def _quality_sql() -> str:
+    return f"""
+        WITH {_sql_quality_chain("documents")}
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(n_stop AS BIGINT) AS n_stop, stop_ratio,
-               ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0
-                           WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END
-                      + LEAST(stop_ratio * 4, 1.0)) / 2, 6) AS quality_score,
-               md5(norm) AS fingerprint
-        FROM r
+               mean_word_len, symbol_ratio, bullet_line_ratio,
+               ellipsis_line_ratio, quality_score, fingerprint
+        FROM q
     """
 
 

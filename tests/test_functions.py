@@ -129,6 +129,63 @@ def test_text_features_pins(spark):
         b"the cat and the dog of a house").hexdigest()
 
 
+def test_lang_id_confusion_matrix(spark):
+    # real sentences per supported language: the guess must agree with
+    # the labeled lang on the diagonal for every row (plus the 'und'
+    # row for marker-free text), the multilingual analog of A1
+    rows = [
+        Row(lang="en", text="the cat sat on the mat and the dog is a "
+                            "friend of the house to all of us"),
+        Row(lang="en", text="a day of rest is the best of the week and "
+                            "the sun is warm to the touch"),
+        Row(lang="de", text="der hund und die katze sind nicht im haus "
+                            "und das wetter ist heute gut"),
+        Row(lang="de", text="das buch und der tisch sind alt aber die "
+                            "lampe ist neu und nicht teuer"),
+        Row(lang="nl", text="de hond en de kat zijn niet in het huis en "
+                            "het weer is vandaag een beetje koud"),
+        Row(lang="nl", text="een man en een vrouw lopen van de winkel "
+                            "naar het park en de zon schijnt niet"),
+        Row(lang="es", text="el perro y el gato no estan en la casa y "
+                            "es que los dias son largos"),
+        Row(lang="fr", text="le chien et le chat ne sont pas dans la "
+                            "maison et une femme est dans les jardins"),
+        Row(lang="zz", text="zyx wvu tsr qpo nml kji hgf edc ba"),
+    ]
+    feats = with_text_features(spark.createDataFrame(rows))
+    got = {(r["lang"], r["guess_lang"]): 1
+           for r in feats.select("lang", "guess_lang").collect()}
+    for lang in ("en", "de", "nl", "es", "fr"):
+        assert (lang, lang) in got, (lang, sorted(got))
+    assert ("zz", "und") in got
+    # no off-diagonal guesses at all on this corpus
+    assert all(g == (l if l != "zz" else "und") for l, g in got)
+
+
+def test_quality_gate_separates_boilerplate_from_article(spark):
+    article = ("the quick brown fox jumps over the lazy dog and the "
+               "river flows to the sea while a bird sings in the tall "
+               "tree near the old stone bridge of the quiet town")
+    bullet_page = "\n".join(f"- item {i} link" for i in range(12))
+    symbol_soup = " ".join("### ... #" for _ in range(15))
+    teaser = "\n".join(f"read more about topic {i}..." for i in range(10))
+    rows = [
+        Row(doc_id=1, text=article),
+        Row(doc_id=2, text=bullet_page),
+        Row(doc_id=3, text=symbol_soup),
+        Row(doc_id=4, text=teaser),
+    ]
+    out = {r["doc_id"]: r for r in
+           with_text_features(spark.createDataFrame(rows)).collect()}
+    assert out[1]["quality_score"] >= 0.9
+    assert out[2]["bullet_line_ratio"] == 1.0
+    assert out[3]["symbol_ratio"] > 0.1
+    assert out[4]["ellipsis_line_ratio"] > 0.3
+    for bad in (2, 3, 4):
+        assert out[bad]["quality_score"] < 0.5, (bad, out[bad])
+        assert out[1]["quality_score"] > out[bad]["quality_score"]
+
+
 def test_confusion_and_iou_hand_computed(spark):
     # 10 pairs: a/a x4, a/b x2, b/b x3, b/a x1
     pairs = spark.createDataFrame(

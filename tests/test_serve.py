@@ -143,6 +143,29 @@ def test_metrics_and_health(server):
     assert "webextract_inflight 0" in metrics
 
 
+def test_spool_flushes_on_accumulated_bytes(tmp_path):
+    # byte bound: payloads of 60 B against flush_bytes=100 -> the second
+    # add crosses the bound and flushes mid-stream, the third lands in a
+    # second file at close — even though flush_every (1000) never trips
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from webextract.serve import _Spool
+
+    spool = _Spool(str(tmp_path / "bspool"), flush_every=1000,
+                   flush_bytes=100)
+    payload = b"x" * 60
+    row = {"url": "u", "extracted_text": "t", "n_spans": 1,
+           "content_kind": "html", "error": None}
+    for i in range(3):
+        spool.add({**row, "url": f"u{i}"}, payload)
+    spool.close()
+    files = list(pathlib.Path(tmp_path / "bspool").glob("*.parquet"))
+    assert len(files) >= 2
+    assert sum(pq.read_table(f).num_rows for f in files) == 3
+
+
 def test_spool_parquet_readable(server, tmp_path):
     pages = gen_pages(5, giant_every=0)
     for row in pages[:4]:  # flush_every=2 -> at least 2 files

@@ -122,3 +122,64 @@ def test_stateful_first_seen_dedup_across_restarts(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     assert got == {"u://a": "first crawl of a", "u://b": "first crawl of b",
                    "u://c": "first crawl of c"}
+
+
+def test_stateful_dedup_event_time_ttl(spark, tmp_path):
+    """revisit_horizon bounds the dedup state: a revisit INSIDE the
+    horizon is dropped; once the watermark passes a url's TTL its state
+    is freed, and a revisit AFTER expiry is a fresh first-seen."""
+    import datetime as dt
+    from webextract.streaming import stream_dedup_extraction
+
+    base = tmp_path / "in"
+    base.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(base / name))
+
+    def run(glob):
+        q = stream_dedup_extraction(
+            spark, f"{base}/{glob}", str(tmp_path / "out"),
+            str(tmp_path / "cp"), revisit_horizon="1 day",
+            watermark="1 minute")
+        q.awaitTermination(120)
+        rows = spark.read.parquet(str(tmp_path / "out")).collect()
+        return sorted((r["url"], r["extracted_text"]) for r in rows)
+
+    t0 = dt.datetime(2024, 1, 1)
+    drop("d0.parquet", [
+        ("u://a", t0, b"<p>first crawl of a</p>", None, None),
+        ("u://b", t0, b"<p>first crawl of b</p>", None, None),
+    ])
+    assert run("d0.parquet") == [
+        ("u://a", "first crawl of a"), ("u://b", "first crawl of b")]
+
+    # revisit INSIDE the horizon -> dropped; far-future url advances the
+    # watermark well past a's and b's TTLs at the end of this batch
+    drop("d1.parquet", [
+        ("u://a", t0 + dt.timedelta(hours=1),
+         b"<p>revisit inside horizon</p>", None, None),
+        ("u://x", t0 + dt.timedelta(days=30),
+         b"<p>first crawl of x</p>", None, None),
+    ])
+    assert run("d[01].parquet") == [
+        ("u://a", "first crawl of a"), ("u://b", "first crawl of b"),
+        ("u://x", "first crawl of x")]
+
+    # next batch: a/b have no data and expired timers -> state removed
+    drop("d2.parquet", [
+        ("u://y", t0 + dt.timedelta(days=30),
+         b"<p>first crawl of y</p>", None, None),
+    ])
+    run("d[012].parquet")
+
+    # revisit AFTER expiry: state is gone -> fresh first-seen, emitted
+    drop("d3.parquet", [
+        ("u://a", t0 + dt.timedelta(days=31),
+         b"<p>post-expiry recrawl of a</p>", None, None),
+    ])
+    final = run("d*.parquet")
+    a_texts = sorted(t for u, t in final if u == "u://a")
+    assert a_texts == ["first crawl of a", "post-expiry recrawl of a"]
+    assert ("u://y", "first crawl of y") in final

@@ -11,10 +11,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# English function-word markers for the n-gram/stopword language heuristic.
-# Deliberately tiny + fixed: the heuristic must be byte-reproducible in
-# plain SQL on both engines (no model, no external data).
-EN_MARKERS: tuple[str, ...] = ("the", "a", "of", "and")
+# Function-word marker sets for the language-ID heuristic, one per
+# supported language. Deliberately tiny + fixed: the heuristic must be
+# byte-reproducible in plain SQL on both engines (no model, no external
+# data). Marker overlap across languages is fine — the guess is the
+# ARGMAX of per-language marker ratios, with an alphabetical tiebreak.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "los", "que", "es", "y"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "nl": ("de", "het", "een", "en", "van", "niet"),
+}
+LANG_THRESHOLD = 0.04  # best marker ratio below this → 'und'
+
+EN_MARKERS: tuple[str, ...] = LANG_MARKERS["en"]
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "in", "to", "is")
 
 
@@ -51,13 +62,26 @@ def stopword_hits(padded: Column) -> Column:
 
 
 def lang_guess(padded: Column, n_tokens: Column) -> Column:
-    """Marker-ratio language guess: 'en' when English function words make
-    up >= 4% of tokens, else 'und' (undetermined)."""
-    hits = F.lit(0).cast("long")
-    for w in EN_MARKERS:
-        hits = hits + occurrences(padded, f" {w} ")
-    ratio = F.when(n_tokens > 0, hits / n_tokens).otherwise(F.lit(0.0))
-    return F.when(ratio >= 0.04, F.lit("en")).otherwise(F.lit("und"))
+    """Marker-ratio language guess over :data:`LANG_MARKERS`: per
+    language, the fraction of tokens that are that language's function
+    words; the guess is the argmax (alphabetical tiebreak via the CASE
+    order), or 'und' when no language reaches :data:`LANG_THRESHOLD`.
+
+    bigint/bigint division is correctly-rounded IEEE double in both
+    Spark and DuckDB, so the ratio comparisons are engine-exact.
+    """
+    ratios: dict[str, Column] = {}
+    for code in sorted(LANG_MARKERS):
+        hits = F.lit(0).cast("long")
+        for w in LANG_MARKERS[code]:
+            hits = hits + occurrences(padded, f" {w} ")
+        ratios[code] = F.when(n_tokens > 0, hits / n_tokens) \
+            .otherwise(F.lit(0.0))
+    best = F.greatest(*ratios.values())
+    expr = F.when(best < F.lit(LANG_THRESHOLD), F.lit("und"))
+    for code in sorted(ratios):
+        expr = expr.when(ratios[code] == best, F.lit(code))
+    return expr.otherwise(F.lit("und"))  # unreachable; keeps type total
 
 
 # word-or-punct token pattern for the BPE-ish count: alnum runs count as
@@ -161,32 +185,90 @@ def with_winnow_fingerprint(docs: DataFrame, text_col: str = "text",
     )
 
 
+# Gopher-style quality bands (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1): mean word
+# length in [3, 10]; symbol-to-word ratio ≤ 0.1 (# and …); ≤ 90% of
+# lines starting with a bullet; ≤ 30% of lines ending with an ellipsis.
+MEAN_WORD_LEN_BAND = (3.0, 10.0)
+MAX_SYMBOL_RATIO = 0.1
+MAX_BULLET_LINE_RATIO = 0.9
+MAX_ELLIPSIS_LINE_RATIO = 0.3
+_BULLET_PREFIXES = ("\n- ", "\n* ", "\n• ")
+_ELLIPSIS_SUFFIXES = ("...\n", "…\n")
+
+
 def with_text_features(docs: DataFrame) -> DataFrame:
     """documents → + (norm, n_tokens, n_stop, stop_ratio, guess_lang,
+    mean_word_len, symbol_ratio, bullet_line_ratio, ellipsis_line_ratio,
     quality_score, fingerprint).
 
-    quality_score is a deterministic [0,1] heuristic: token-length band +
-    stopword presence — the web-text analog of the reference's
-    mean-confidence provenance (A6, ``tooling/average_confidence.py``).
-    fingerprint is the content hash used for exact dedup (md5 of the
-    normalized text).
+    quality_score is a deterministic [0,1] heuristic: the graded base
+    (token-length band + stopword presence, averaged) MULTIPLIED by the
+    three Gopher-style penalty gates (mean-word-length band,
+    symbol-to-word ratio, bullet/ellipsis line ratios — the banded
+    constants above). Gates multiply rather than average because in
+    Gopher they are hard drops: a bullet-list page scores 0 regardless
+    of its length, and a clean page's score is unchanged by them.
+    The web-text analog of the reference's mean-confidence provenance
+    (A6, ``tooling/average_confidence.py``). fingerprint is the content
+    hash used for exact dedup (md5 of the normalized text). All pure
+    codegen expressions with an exact DuckDB mirror — line ratios count
+    over the RAW text (normalization collapses newlines).
     """
     norm = norm_text("text")
+    raw = F.col("text")
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
     n_tokens = token_count(norm)
     n_stop = stopword_hits(padded)
     stop_ratio = F.round(
         F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 6
     )
+    # chars-per-token of the normalized text (spaces excluded)
+    mean_word_len = F.round(
+        F.when(n_tokens > 0,
+               (F.length(norm) - (n_tokens - 1)) / n_tokens)
+        .otherwise(F.lit(0.0)), 6)
+    n_symbols = occurrences(norm, "#") + occurrences(norm, "...") \
+        + occurrences(norm, "…")
+    symbol_ratio = F.round(
+        F.when(n_tokens > 0, n_symbols / n_tokens).otherwise(F.lit(0.0)), 6)
+    # line signals over raw text: pad with newlines so first/last lines
+    # match the same \n-anchored patterns as interior ones
+    nl_padded = F.concat(F.lit("\n"), raw, F.lit("\n"))
+    n_lines = occurrences(raw, "\n") + 1
+    n_bullet = sum((occurrences(nl_padded, p) for p in _BULLET_PREFIXES),
+                   F.lit(0).cast("long"))
+    n_ellipsis = sum((occurrences(nl_padded, s) for s in _ELLIPSIS_SUFFIXES),
+                     F.lit(0).cast("long"))
+    bullet_ratio = F.round(n_bullet / n_lines, 6)
+    ellipsis_ratio = F.round(n_ellipsis / n_lines, 6)
+
     len_score = F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(1.0)) \
         .when(n_tokens >= 5, F.lit(0.5)).otherwise(F.lit(0.0))
-    quality = F.round((len_score + F.least(stop_ratio * 4, F.lit(1.0))) / 2, 6)
+    stop_score = F.least(stop_ratio * 4, F.lit(1.0))
+    word_len_score = F.when(
+        (mean_word_len >= MEAN_WORD_LEN_BAND[0])
+        & (mean_word_len <= MEAN_WORD_LEN_BAND[1]), F.lit(1.0)) \
+        .otherwise(F.lit(0.0))
+    symbol_score = F.when(symbol_ratio <= MAX_SYMBOL_RATIO, F.lit(1.0)) \
+        .otherwise(F.lit(0.0))
+    line_score = F.when(
+        (bullet_ratio <= MAX_BULLET_LINE_RATIO)
+        & (ellipsis_ratio <= MAX_ELLIPSIS_LINE_RATIO), F.lit(1.0)) \
+        .otherwise(F.lit(0.0))
+    quality = F.round(
+        (len_score + stop_score) / 2
+        * word_len_score * symbol_score * line_score, 6)
     return (
         docs.withColumn("norm", norm)
         .withColumn("n_tokens", n_tokens)
         .withColumn("n_stop", n_stop)
         .withColumn("stop_ratio", stop_ratio)
         .withColumn("guess_lang", lang_guess(padded, n_tokens))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_line_ratio", bullet_ratio)
+        .withColumn("ellipsis_line_ratio", ellipsis_ratio)
         .withColumn("quality_score", quality)
         .withColumn("fingerprint", F.md5(F.encode(norm, "UTF-8")))
     )

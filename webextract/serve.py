@@ -91,16 +91,22 @@ class _Spool:
     the bridge the e2e test drives end to end.
     """
 
-    def __init__(self, spool_dir: str | None, flush_every: int) -> None:
+    def __init__(self, spool_dir: str | None, flush_every: int,
+                 flush_bytes: int = 64 << 20) -> None:
         self.dir = spool_dir
         self.flush_every = flush_every
+        # byte bound as well as row bound: worst case without it is
+        # flush_every × max_body_bytes of raw payloads held in memory
+        self.flush_bytes = flush_bytes
         self._rows: list[dict] = []
+        self._pending_bytes = 0
         self._lock = threading.Lock()
 
     def add(self, row: dict, payload: bytes) -> None:
         if self.dir is None:
             return
         with self._lock:
+            self._pending_bytes += len(payload)
             self._rows.append({
                 "url": row["url"],
                 "warc_ts": dt.datetime.now(dt.timezone.utc)
@@ -113,7 +119,8 @@ class _Spool:
                 "error": row["error"],
                 "served_at": time.time(),
             })
-            if len(self._rows) >= self.flush_every:
+            if (len(self._rows) >= self.flush_every
+                    or self._pending_bytes >= self.flush_bytes):
                 self._flush_locked()
 
     def close(self) -> None:
@@ -140,6 +147,7 @@ class _Spool:
         name = f"served-{uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(table, f"{self.dir}/{name}")
         self._rows = []
+        self._pending_bytes = 0
 
 
 class ExtractServer:
@@ -152,7 +160,7 @@ class ExtractServer:
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG,
                  host: str = "127.0.0.1", port: int = 0,
                  max_pending: int = 64, spool_dir: str | None = None,
-                 flush_every: int = 64,
+                 flush_every: int = 64, flush_bytes: int = 64 << 20,
                  max_body_bytes: int = 32 * 1024 * 1024,
                  configs: dict[str, ExtractConfig] | None = None) -> None:
         # named config registry + runtime hot-swap (the reference swaps
@@ -164,7 +172,7 @@ class ExtractServer:
         self._cfg_lock = threading.Lock()
         self.max_body_bytes = max_body_bytes
         self.metrics = _Metrics()
-        self.spool = _Spool(spool_dir, flush_every)
+        self.spool = _Spool(spool_dir, flush_every, flush_bytes)
         self._admission = threading.BoundedSemaphore(max_pending)
         self._httpd = ThreadingHTTPServer((host, port), self._handler())
         self._thread: threading.Thread | None = None

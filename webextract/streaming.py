@@ -69,7 +69,9 @@ def stream_extraction(spark: SparkSession, input_path: str,
     return writer.start()
 
 
-def dedup_first_seen(pages_stream: DataFrame):
+def dedup_first_seen(pages_stream: DataFrame,
+                     revisit_horizon: str | None = None,
+                     watermark: str = "10 minutes"):
     """Custom stateful operator: keep only the FIRST crawl of each url
     across micro-batches (``applyInPandasWithState``).
 
@@ -82,20 +84,33 @@ def dedup_first_seen(pages_stream: DataFrame):
     ``applyInPandasWithState`` surface — the streaming analog of the
     reference's ledger status machine (``api/flask_app.py:166-284``),
     which tracks in-flight/done work to avoid duplicates.
+
+    ``revisit_horizon`` (e.g. ``"7 days"``) bounds the state: without it
+    the per-url boolean grows without bound for the checkpoint's lifetime
+    — at crawl scale that is every url ever seen. With it, the stream is
+    watermarked on ``warc_ts`` and each url's state carries an event-time
+    timeout of (its latest arrival + horizon); when the watermark passes
+    that, the state is dropped — a url not revisited within the crawl's
+    revisit horizon frees its entry, and a revisit AFTER expiry is
+    treated as a fresh first-seen (the semantics a recrawl wants: the
+    page content has a new snapshot anyway). Every arrival extends the
+    TTL, so a hot url's state never lapses mid-activity.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = PAGES_SCHEMA
     state_schema = "seen boolean"
+    horizon_ms = (int(pd.Timedelta(revisit_horizon).total_seconds() * 1000)
+                  if revisit_horizon else None)
 
     def first_seen(key, pdfs, state: GroupState):
-        if state.exists:
-            # url already emitted in an earlier trigger: drop everything
-            for _ in pdfs:
-                pass
+        if state.hasTimedOut:
+            # horizon passed with no revisit: free the entry
+            state.remove()
             return
         first: pd.DataFrame | None = None
+        latest_ms: int | None = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -104,15 +119,28 @@ def dedup_first_seen(pages_stream: DataFrame):
             if first is None or (head["warc_ts"].iloc[0]
                                  < first["warc_ts"].iloc[0]):
                 first = head
-        if first is not None:
+            tail_ms = pdf["warc_ts"].iloc[-1].value // 1_000_000
+            if latest_ms is None or tail_ms > latest_ms:
+                latest_ms = tail_ms
+        emitted = state.exists
+        if not emitted and first is not None:
             state.update((True,))
+        if horizon_ms is not None and latest_ms is not None:
+            # extend the TTL past the watermark on every arrival
+            floor = state.getCurrentWatermarkMs() + 1
+            state.setTimeoutTimestamp(max(latest_ms + horizon_ms, floor))
+        if not emitted and first is not None:
             yield first
 
+    stream = pages_stream
+    timeout = GroupStateTimeout.NoTimeout
+    if revisit_horizon is not None:
+        stream = stream.withWatermark("warc_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return (
-        pages_stream.groupBy("url")
+        stream.groupBy("url")
         .applyInPandasWithState(
-            first_seen, out_schema, state_schema, "append",
-            GroupStateTimeout.NoTimeout,
+            first_seen, out_schema, state_schema, "append", timeout,
         )
     )
 
@@ -121,11 +149,16 @@ def stream_dedup_extraction(spark: SparkSession, input_path: str,
                             output_path: str, checkpoint_path: str,
                             cfg: ExtractConfig = DEFAULT_CONFIG,
                             run_id: str = "stream-dedup",
-                            available_now: bool = True) -> StreamingQuery:
+                            available_now: bool = True,
+                            revisit_horizon: str | None = None,
+                            watermark: str = "10 minutes") -> StreamingQuery:
     """Streaming ingest with first-seen url dedup in front of extraction:
-    revisited urls never reach the (expensive) parse stage."""
+    revisited urls never reach the (expensive) parse stage.
+    ``revisit_horizon`` bounds dedup state — see
+    :func:`dedup_first_seen`."""
     pages = read_pages_stream(spark, input_path)
-    deduped = dedup_first_seen(pages)
+    deduped = dedup_first_seen(pages, revisit_horizon=revisit_horizon,
+                               watermark=watermark)
     extracted = deduped.select("url", "html").mapInArrow(
         make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
     writer = (
