@@ -938,35 +938,48 @@ def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
     """
 
 
-def _neardup_lsh_sql(n_planes: int = 8, threshold: float = 0.3) -> str:
+def _neardup_lsh_sql(n_planes: int = 8, n_bands: int = 2,
+                     threshold: float = 0.3) -> str:
     """Mirror of similarity.near_duplicate_pairs_lsh: the same
-    md5-derived plan-time-literal hyperplanes as _ann_lsh_sql, self
-    equi-joined on the bucket with exact cosine verification."""
+    md5-derived plan-time-literal hyperplanes as _ann_lsh_sql, BANDED
+    into n_bands keyed self-joins (band index in the key's high bits),
+    candidates deduped across bands, exact cosine verification."""
     from webextract.functions.similarity import _hyperplane
 
-    terms = []
-    for p in range(n_planes):
-        lits = ", ".join(repr(c) for c in _hyperplane(p, EMB_DIM))
-        d = (f"round(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
-             f"i -> v[i] * ([{lits}])[i])), 6)")
-        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(terms)
+    band_size = n_planes // n_bands
+    band_selects = []
+    for bi in range(n_bands):
+        terms = [str(bi << band_size)]
+        for j in range(band_size):
+            lits = ", ".join(
+                repr(c) for c in _hyperplane(bi * band_size + j, EMB_DIM))
+            d = (f"round(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+                 f"i -> v[i] * ([{lits}])[i])), 6)")
+            terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT vec_id, {' + '.join(terms)} AS band_key FROM n")
+    bands = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings WHERE vec_id < 100),
     n AS (SELECT vec_id, v,
-                 list_sum(list_transform(v, x -> x * x)) AS nsq,
-                 {bucket} AS bucket
-          FROM e)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
-                                         i -> a.v[i] * b.v[i]))
-                 / sqrt(a.nsq * b.nsq), 4) AS cos_sim
-    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
-                                        i -> a.v[i] * b.v[i]))
-                / sqrt(a.nsq * b.nsq), 4) >= {threshold}
+                 list_sum(list_transform(v, x -> x * x)) AS nsq
+          FROM e),
+    bands AS ({bands}),
+    cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_key = b.band_key AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b,
+           ROUND(list_sum(list_transform(range(1, len(x.v) + 1),
+                                         i -> x.v[i] * y.v[i]))
+                 / sqrt(x.nsq * y.nsq), 4) AS cos_sim
+    FROM cands c
+    JOIN n x ON x.vec_id = c.id_a
+    JOIN n y ON y.vec_id = c.id_b
+    WHERE ROUND(list_sum(list_transform(range(1, len(x.v) + 1),
+                                        i -> x.v[i] * y.v[i]))
+                / sqrt(x.nsq * y.nsq), 4) >= {threshold}
     """
 
 

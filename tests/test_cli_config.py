@@ -90,3 +90,49 @@ def test_cli_dedup_stages_then_staged_curate(spark, tmp_path, capsys):
                     for r in spark.read.parquet(staged_out).collect())
     assert fused == staged == [1]
     assert fused_summary["rows_out"] == staged_summary["rows_out"] == 1
+    assert staged_summary["staged_pairs_ignored"] is False
+
+    # a LOWER curate threshold than the stage build: the staged pairs
+    # (filtered at 0.8) would silently miss [0.5, 0.8) pairs — the CLI
+    # must ignore them and re-verify from the threshold-independent
+    # candidates, matching a fused run at the lower threshold
+    low_fused = str(tmp_path / "low_fused")
+    assert main(["curate", "--input", docs_path, "--output", low_fused,
+                 "--min-quality", "0.3", "--threshold", "0.5"]) == 0
+    capsys.readouterr()
+    low_staged = str(tmp_path / "low_staged")
+    assert main(["curate", "--input", docs_path, "--output", low_staged,
+                 "--min-quality", "0.3", "--threshold", "0.5",
+                 "--stages", stages]) == 0
+    low_summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert low_summary["staged_pairs_ignored"] is True
+    assert sorted(r["doc_id"] for r in spark.read.parquet(low_staged).collect()) \
+        == sorted(r["doc_id"] for r in spark.read.parquet(low_fused).collect())
+
+    # stage tables built on other id/text columns cannot be reused
+    import pytest
+    with pytest.raises(SystemExit, match="stage tables are content-keyed"):
+        main(["curate", "--input", docs_path, "--output",
+              str(tmp_path / "bad"), "--stages", stages,
+              "--id-col", "other_id"])
+
+
+def test_cli_dedup_stages_custom_id_col(spark, tmp_path, capsys):
+    # non-default --id-col must flow through every stage (the candidates
+    # stage used to crash on the missing default column)
+    from pyspark.sql import Row
+
+    from webextract.__main__ import main
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "a field of tall green grass while the sun is warm")
+    rows = [Row(page_id=1, text=base), Row(page_id=2, text=base)]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(rows).write.parquet(docs_path)
+    stages = str(tmp_path / "stages")
+    assert main(["dedup-stages", "--input", docs_path, "--output", stages,
+                 "--id-col", "page_id"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["signatures"] == 2 and summary["pairs"] == 1
+    cand_cols = spark.read.parquet(f"{stages}/candidates").columns
+    assert cand_cols == ["doc_a", "doc_b"]

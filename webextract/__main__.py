@@ -161,13 +161,22 @@ def _run_dedup_stages(spark, args) -> dict:
         sig = with_minhash(docs, args.id_col, args.text_col)
         sig.write.mode("overwrite").parquet(f"{out}/signatures")
         sig = spark.read.parquet(f"{out}/signatures")
-        cands = lsh_candidate_pairs(sig, persist_bands=False)
+        cands = lsh_candidate_pairs(sig, id_col=args.id_col,
+                                    persist_bands=False)
         cands.write.mode("overwrite").parquet(f"{out}/candidates")
         cands = spark.read.parquet(f"{out}/candidates")
         pairs = near_duplicate_docs(
             docs, id_col=args.id_col, text_col=args.text_col,
             threshold=args.threshold, candidates=cands, scope=scope)
         pairs.write.mode("overwrite").parquet(f"{out}/pairs")
+    # stage metadata: pairs are only valid for curate thresholds >= the
+    # stage threshold (lower ones would silently under-drop — the pairs
+    # scan excludes [curate_t, stage_t)); written as a 1-row json dir so
+    # it rides any Hadoop filesystem, not just local paths
+    spark.createDataFrame(
+        [(float(args.threshold), args.id_col, args.text_col)],
+        "threshold double, id_col string, text_col string",
+    ).coalesce(1).write.mode("overwrite").json(f"{out}/stage_meta")
     return {
         "signatures": spark.read.parquet(f"{out}/signatures").count(),
         "candidates": spark.read.parquet(f"{out}/candidates").count(),
@@ -181,10 +190,33 @@ def _run_curate(spark, args) -> dict:
 
     docs = spark.read.parquet(args.input)
     candidates = pairs = None
+    staged_pairs_ignored = False
     if args.stages:
         st = args.stages.rstrip("/")
         candidates = spark.read.parquet(f"{st}/candidates")
         pairs = spark.read.parquet(f"{st}/pairs")
+        meta = _read_stage_meta(spark, st)
+        if meta is not None and (meta["id_col"] != args.id_col
+                                 or meta["text_col"] != args.text_col):
+            raise SystemExit(
+                f"--stages was built on ({meta['id_col']},"
+                f" {meta['text_col']}), not ({args.id_col},"
+                f" {args.text_col}): stage tables are content-keyed on"
+                " those columns and cannot be reused")
+        # staged pairs only contain jaccard >= stage threshold; a LOWER
+        # curate threshold would silently miss pairs in [curate_t,
+        # stage_t). Candidates are threshold-independent, so fall back
+        # to re-verifying from them instead of under-dropping.
+        if meta is None or args.threshold < meta["threshold"]:
+            pairs = None
+            staged_pairs_ignored = True
+            print(json.dumps({
+                "warning": "staged pairs ignored; re-verifying from "
+                           "candidates",
+                "reason": ("stage_meta missing" if meta is None else
+                           f"curate threshold {args.threshold} < stage "
+                           f"threshold {meta['threshold']}"),
+            }), file=sys.stderr)
     with cache_scope() as scope:
         survivors = curate_corpus(
             docs, id_col=args.id_col, text_col=args.text_col,
@@ -196,7 +228,17 @@ def _run_curate(spark, args) -> dict:
     n_out = spark.read.parquet(args.output).count()
     return {"rows_in": n_in, "rows_out": n_out,
             "dropped": n_in - n_out, "transitive": args.transitive,
-            "staged": bool(args.stages)}
+            "staged": bool(args.stages),
+            "staged_pairs_ignored": staged_pairs_ignored}
+
+
+def _read_stage_meta(spark, stage_dir: str) -> dict | None:
+    """The dedup-stages metadata row, or None for a pre-metadata dir."""
+    try:
+        rows = spark.read.json(f"{stage_dir}/stage_meta").collect()
+    except Exception:
+        return None
+    return rows[0].asDict() if rows else None
 
 
 if __name__ == "__main__":
