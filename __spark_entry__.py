@@ -1050,20 +1050,26 @@ def _sql_occ(expr: str, needle_sql: str, nlen: int) -> str:
             f" ''))) / {nlen} AS BIGINT)")
 
 
+def _sql_marker_hits(markers: tuple[str, ...]) -> str:
+    """Mirror of text.marker_hits: one token-array filter pass."""
+    lst = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+    return (f"CAST(len(list_filter(toks, t -> list_contains({lst}, t)))"
+            " AS BIGINT)")
+
+
 def _lang_id_sql() -> str:
-    """Mirror of text.lang_guess: per-language marker-hit ratios, argmax
-    with alphabetical tiebreak (CASE order), 'und' under the threshold."""
+    """Mirror of text.lang_guess: per-language marker-hit ratios (one
+    token-array pass each), argmax with alphabetical tiebreak (CASE
+    order), 'und' under the threshold."""
     from webextract.functions.text import LANG_MARKERS, LANG_THRESHOLD
 
     norm = _NORM_SQL
     codes = sorted(LANG_MARKERS)
     ratio_cols = []
     for code in codes:
-        hits = " + ".join(
-            _sql_occ("p", f"' {w} '", len(w) + 2)
-            for w in LANG_MARKERS[code])
+        hits = _sql_marker_hits(LANG_MARKERS[code])
         ratio_cols.append(
-            f"CASE WHEN n_tokens > 0 THEN ({hits}) / CAST(n_tokens AS"
+            f"CASE WHEN n_tokens > 0 THEN {hits} / CAST(n_tokens AS"
             f" DOUBLE) ELSE 0.0 END AS r_{code}")
     best = "greatest(" + ", ".join(f"r_{c}" for c in codes) + ")"
     case = f"CASE WHEN {best} < {LANG_THRESHOLD} THEN 'und'"
@@ -1072,7 +1078,7 @@ def _lang_id_sql() -> str:
     case += " ELSE 'und' END"
     return f"""
         WITH n AS (SELECT lang, {norm} AS norm FROM documents),
-        t AS (SELECT lang, ' ' || norm || ' ' AS p,
+        t AS (SELECT lang, string_split(norm, ' ') AS toks,
                      CASE WHEN length(norm) = 0 THEN 0
                           ELSE len(string_split(norm, ' ')) END AS n_tokens
               FROM n),
@@ -1096,8 +1102,7 @@ def _sql_quality_chain(src: str) -> str:
         _ELLIPSIS_SUFFIXES,
     )
 
-    stop_hits = " + ".join(
-        _sql_occ("p", f"' {w} '", len(w) + 2) for w in STOPWORDS)
+    stop_hits = _sql_marker_hits(STOPWORDS)
     symbol_hits = " + ".join([
         _sql_occ("norm", "'#'", 1),
         _sql_occ("norm", "'...'", 3),
@@ -1112,7 +1117,7 @@ def _sql_quality_chain(src: str) -> str:
     lo, hi = MEAN_WORD_LEN_BAND
     return f"""
     qn AS (SELECT s.*, {_NORM_SQL} AS norm FROM {src} s),
-    qt AS (SELECT qn.*, ' ' || norm || ' ' AS p,
+    qt AS (SELECT qn.*, string_split(norm, ' ') AS toks,
                   chr(10) || text || chr(10) AS nlp,
                   {_sql_occ("text", "chr(10)", 1)} + 1 AS n_lines,
                   CASE WHEN length(norm) = 0 THEN 0

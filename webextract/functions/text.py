@@ -52,29 +52,36 @@ def token_count(text: Column) -> Column:
     )
 
 
-def stopword_hits(padded: Column) -> Column:
-    """Total stopword occurrences in ' '||norm||' ' (padding makes the
-    word-boundary matching exact at both ends)."""
-    total = F.lit(0).cast("long")
-    for w in STOPWORDS:
-        total = total + occurrences(padded, f" {w} ")
-    return total
+def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are in ``markers`` (with multiplicity): ONE
+    pass over the token array with a short-circuit In per token — far
+    cheaper than per-marker length/replace scans of the whole text
+    (which cost O(markers × chars) and undercount adjacent repeats)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
 
 
-def lang_guess(padded: Column, n_tokens: Column) -> Column:
+def stopword_hits(toks: Column) -> Column:
+    """Total stopword token count of the normalized token array."""
+    return marker_hits(toks, STOPWORDS)
+
+
+def lang_guess(toks: Column, n_tokens: Column) -> Column:
     """Marker-ratio language guess over :data:`LANG_MARKERS`: per
     language, the fraction of tokens that are that language's function
     words; the guess is the argmax (alphabetical tiebreak via the CASE
     order), or 'und' when no language reaches :data:`LANG_THRESHOLD`.
 
     bigint/bigint division is correctly-rounded IEEE double in both
-    Spark and DuckDB, so the ratio comparisons are engine-exact.
+    Spark and DuckDB, so the ratio comparisons are engine-exact. Hit
+    counts are one token-array pass per language (see
+    :func:`marker_hits`); prefer :func:`with_text_features`, whose
+    projection boundary evaluates each ratio once — inlined as a single
+    Column, every ratio is referenced by ``greatest`` AND its own CASE
+    arm.
     """
     ratios: dict[str, Column] = {}
     for code in sorted(LANG_MARKERS):
-        hits = F.lit(0).cast("long")
-        for w in LANG_MARKERS[code]:
-            hits = hits + occurrences(padded, f" {w} ")
+        hits = marker_hits(toks, LANG_MARKERS[code])
         ratios[code] = F.when(n_tokens > 0, hits / n_tokens) \
             .otherwise(F.lit(0.0))
     best = F.greatest(*ratios.values())
@@ -215,23 +222,44 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     codegen expressions with an exact DuckDB mirror — line ratios count
     over the RAW text (normalization collapses newlines).
     """
-    norm = norm_text("text")
-    raw = F.col("text")
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    n_tokens = token_count(norm)
-    n_stop = stopword_hits(padded)
+    codes = sorted(LANG_MARKERS)
+    # projection boundaries: norm (a regexp_replace) and the token array
+    # are referenced by nearly every signal; as inlined Columns they
+    # would be re-evaluated per reference (CollapseProject only keeps a
+    # non-cheap alias materialized when it is referenced more than once
+    # — exactly what these staged withColumns arrange)
+    step1 = (docs.withColumn("norm", norm_text("text"))
+             .withColumn("_toks", F.split(F.col("norm"), " ")))
+    normc, toks, raw = F.col("norm"), F.col("_toks"), F.col("text")
+    n_tokens = F.when(F.length(normc) == 0, F.lit(0)) \
+        .otherwise(F.size(toks)).cast("long")
+    step2 = step1.withColumn("n_tokens", n_tokens) \
+        .withColumn("n_stop", stopword_hits(toks))
+    nt = F.col("n_tokens")
+    # per-language marker ratios land in their own columns so each
+    # single-pass token filter runs ONCE even though the argmax CASE
+    # references every ratio twice (greatest + its own arm)
+    for code in codes:
+        step2 = step2.withColumn(
+            f"_r_{code}",
+            F.when(nt > 0, marker_hits(toks, LANG_MARKERS[code]) / nt)
+            .otherwise(F.lit(0.0)))
+    best = F.greatest(*[F.col(f"_r_{c}") for c in codes])
+    guess = F.when(best < F.lit(LANG_THRESHOLD), F.lit("und"))
+    for c in codes:
+        guess = guess.when(F.col(f"_r_{c}") == best, F.lit(c))
+    guess = guess.otherwise(F.lit("und"))
+
     stop_ratio = F.round(
-        F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 6
-    )
+        F.when(nt > 0, F.col("n_stop") / nt).otherwise(F.lit(0.0)), 6)
     # chars-per-token of the normalized text (spaces excluded)
     mean_word_len = F.round(
-        F.when(n_tokens > 0,
-               (F.length(norm) - (n_tokens - 1)) / n_tokens)
+        F.when(nt > 0, (F.length(normc) - (nt - 1)) / nt)
         .otherwise(F.lit(0.0)), 6)
-    n_symbols = occurrences(norm, "#") + occurrences(norm, "...") \
-        + occurrences(norm, "…")
+    n_symbols = occurrences(normc, "#") + occurrences(normc, "...") \
+        + occurrences(normc, "…")
     symbol_ratio = F.round(
-        F.when(n_tokens > 0, n_symbols / n_tokens).otherwise(F.lit(0.0)), 6)
+        F.when(nt > 0, n_symbols / nt).otherwise(F.lit(0.0)), 6)
     # line signals over raw text: pad with newlines so first/last lines
     # match the same \n-anchored patterns as interior ones
     nl_padded = F.concat(F.lit("\n"), raw, F.lit("\n"))
@@ -243,32 +271,33 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     bullet_ratio = F.round(n_bullet / n_lines, 6)
     ellipsis_ratio = F.round(n_ellipsis / n_lines, 6)
 
-    len_score = F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(1.0)) \
-        .when(n_tokens >= 5, F.lit(0.5)).otherwise(F.lit(0.0))
-    stop_score = F.least(stop_ratio * 4, F.lit(1.0))
-    word_len_score = F.when(
-        (mean_word_len >= MEAN_WORD_LEN_BAND[0])
-        & (mean_word_len <= MEAN_WORD_LEN_BAND[1]), F.lit(1.0)) \
-        .otherwise(F.lit(0.0))
-    symbol_score = F.when(symbol_ratio <= MAX_SYMBOL_RATIO, F.lit(1.0)) \
-        .otherwise(F.lit(0.0))
-    line_score = F.when(
-        (bullet_ratio <= MAX_BULLET_LINE_RATIO)
-        & (ellipsis_ratio <= MAX_ELLIPSIS_LINE_RATIO), F.lit(1.0)) \
-        .otherwise(F.lit(0.0))
-    quality = F.round(
-        (len_score + stop_score) / 2
-        * word_len_score * symbol_score * line_score, 6)
-    return (
-        docs.withColumn("norm", norm)
-        .withColumn("n_tokens", n_tokens)
-        .withColumn("n_stop", n_stop)
-        .withColumn("stop_ratio", stop_ratio)
-        .withColumn("guess_lang", lang_guess(padded, n_tokens))
+    step3 = (
+        step2.withColumn("stop_ratio", stop_ratio)
+        .withColumn("guess_lang", guess)
         .withColumn("mean_word_len", mean_word_len)
         .withColumn("symbol_ratio", symbol_ratio)
         .withColumn("bullet_line_ratio", bullet_ratio)
         .withColumn("ellipsis_line_ratio", ellipsis_ratio)
-        .withColumn("quality_score", quality)
-        .withColumn("fingerprint", F.md5(F.encode(norm, "UTF-8")))
+    )
+    len_score = F.when((nt >= 20) & (nt <= 1000), F.lit(1.0)) \
+        .when(nt >= 5, F.lit(0.5)).otherwise(F.lit(0.0))
+    stop_score = F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+    word_len_score = F.when(
+        (F.col("mean_word_len") >= MEAN_WORD_LEN_BAND[0])
+        & (F.col("mean_word_len") <= MEAN_WORD_LEN_BAND[1]), F.lit(1.0)) \
+        .otherwise(F.lit(0.0))
+    symbol_score = F.when(
+        F.col("symbol_ratio") <= MAX_SYMBOL_RATIO, F.lit(1.0)) \
+        .otherwise(F.lit(0.0))
+    line_score = F.when(
+        (F.col("bullet_line_ratio") <= MAX_BULLET_LINE_RATIO)
+        & (F.col("ellipsis_line_ratio") <= MAX_ELLIPSIS_LINE_RATIO),
+        F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = F.round(
+        (len_score + stop_score) / 2
+        * word_len_score * symbol_score * line_score, 6)
+    return (
+        step3.withColumn("quality_score", quality)
+        .withColumn("fingerprint", F.md5(F.encode(normc, "UTF-8")))
+        .drop("_toks", *[f"_r_{c}" for c in codes])
     )
