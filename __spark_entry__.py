@@ -255,6 +255,32 @@ def q_lang_id(spark, sf_dir):
         F.count("*").alias("n_docs"))
 
 
+def q_lang_id_mixed(spark, sf_dir):
+    # multilingual detection surface: documents.text is English-ish word
+    # salad for every lang label, so the plain lang_id query can only
+    # ever guess en/und. This query builds a DETERMINISTIC multilingual
+    # corpus — each doc labeled de/en/es/fr gets a tail of that
+    # language's function words (10x the marker set, enough to dominate
+    # the base text's English markers); zh keeps the original text — and
+    # checks the detector recovers the label: the confusion matrix over
+    # (lang, guess_lang) shows one diagonal guess class per marker
+    # language. Exactly mirrored in SQL (same CASE, same literals).
+    from webextract.functions.text import LANG_MARKERS
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    tail = F.lit("")
+    expr = F.col("text")
+    for code in sorted(LANG_MARKERS):
+        words = " ".join(LANG_MARKERS[code] * 10)
+        expr = F.when(F.col("lang") == code,
+                      F.concat(F.col("text"), F.lit(" " + words))) \
+            .otherwise(expr)
+    mixed = docs.withColumn("text", expr)
+    feats = with_text_features(mixed)
+    return feats.groupBy("lang", "guess_lang").agg(
+        F.count("*").alias("n_docs"))
+
+
 def q_quality_scores(spark, sf_dir):
     return with_text_features(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_stop", "stop_ratio", "mean_word_len",
@@ -452,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "lang_id": q_lang_id,
+        "lang_id_mixed": q_lang_id_mixed,
         "quality_scores": q_quality_scores,
         "token_counts_by_source": q_token_counts_by_source,
         "top_longest_docs": q_top_longest_docs,
@@ -782,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),
+        "lang_id_mixed": _lang_id_mixed_sql(),
         "quality_scores": _quality_sql(),
         "token_counts_by_source": f"""
             WITH n AS (SELECT source, {norm} AS norm FROM documents),
@@ -1057,7 +1085,7 @@ def _sql_marker_hits(markers: tuple[str, ...]) -> str:
             " AS BIGINT)")
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(src: str = "documents") -> str:
     """Mirror of text.lang_guess: per-language marker-hit ratios (one
     token-array pass each), argmax with alphabetical tiebreak (CASE
     order), 'und' under the threshold."""
@@ -1077,7 +1105,7 @@ def _lang_id_sql() -> str:
         case += f" WHEN r_{c} = {best} THEN '{c}'"
     case += " ELSE 'und' END"
     return f"""
-        WITH n AS (SELECT lang, {norm} AS norm FROM documents),
+        WITH n AS (SELECT lang, {norm} AS norm FROM {src}),
         t AS (SELECT lang, string_split(norm, ' ') AS toks,
                      CASE WHEN length(norm) = 0 THEN 0
                           ELSE len(string_split(norm, ' ')) END AS n_tokens
@@ -1161,6 +1189,20 @@ def _sql_quality_chain(src: str) -> str:
                  md5(norm) AS fingerprint
           FROM qr)
     """
+
+
+def _lang_id_mixed_sql() -> str:
+    """Mirror of q_lang_id_mixed: same per-language marker tails (as SQL
+    literals), then the standard lang-ID chain over the mixed corpus."""
+    from webextract.functions.text import LANG_MARKERS
+
+    cases = ""
+    for code in sorted(LANG_MARKERS):
+        words = " ".join(LANG_MARKERS[code] * 10)
+        cases += f" WHEN lang = '{code}' THEN text || ' {words}'"
+    mixed = f"(SELECT lang, CASE{cases} ELSE text END AS text" \
+            " FROM documents)"
+    return _lang_id_sql(src=mixed)
 
 
 def _quality_sql() -> str:
