@@ -488,6 +488,28 @@ def test_media_transform_real_pixel_resize(spark):
         arr[ys][:, ys].tobytes()).hexdigest()
 
 
+def test_pixel_decoders_total_on_byte_soup():
+    # per-row error contract: corrupt containers raise ValueError (caught
+    # by the batch wrapper), never anything else, never hang
+    import zlib
+    from struct import error as struct_error
+
+    from hypothesis import given, settings, strategies as st
+    from webextract.functions.multimodal import _bmp_pixels, _png_pixels
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=150, deadline=None)
+    def run(junk):
+        for dec, magic in ((_png_pixels, b"\x89PNG\r\n\x1a\n"),
+                           (_bmp_pixels, b"BM")):
+            try:
+                dec(magic + junk)
+            except (ValueError, zlib.error, struct_error, IndexError):
+                pass  # caught by the batch wrapper as a per-row error
+
+    run()
+
+
 def test_media_transform_real_gif_frame_sample(spark):
     from webextract.functions.multimodal import media_transform
     from webextract.pipeline import ship_package

@@ -109,3 +109,31 @@ def test_pdf_length_mismatch_falls_back_to_scan():
 def test_unescape():
     assert _unescape_pdf_string(rb"a\(b\)c\\d\n") == "a(b)c\\d\n"
     assert _unescape_pdf_string(rb"\101\102") == "AB"
+
+
+# --- totality fuzz: the skip-on-corrupt contract means NO byte soup may
+# raise — corrupt inputs degrade to fewer/empty spans, never exceptions
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_pdfish = st.one_of(
+    st.binary(max_size=400),
+    st.builds(
+        lambda head, body, ln: (b"%PDF-1.4\n" + head
+                                + b" /Length " + str(ln).encode()
+                                + b" /Filter /FlateDecode >>\nstream\n"
+                                + body + b"\nendstream\n"),
+        st.binary(max_size=40), st.binary(max_size=200),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    st.builds(
+        lambda parts: b"%PDF-1.4\n" + b"stream\n".join(parts),
+        st.lists(st.binary(max_size=120), max_size=5),
+    ),
+)
+
+
+@given(_pdfish)
+@settings(max_examples=200, deadline=None)
+def test_pdf_extract_total_on_byte_soup(payload):
+    r = extract_pdf("u", b"%PDF-" + payload)
+    assert isinstance(r.text, str)
