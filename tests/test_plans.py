@@ -116,3 +116,44 @@ def test_metrics_two_phase_aggregation(spark):
     # partial + final HashAggregate around one exchange
     assert plan.count("HashAggregate") >= 2
     assert "ReadSchema: struct<event_type:string>" in plan
+
+
+def test_verify_join_keys_are_hashed_longs(spark, docs):
+    # the common-shingle verify joins must exchange 8-byte hash60 ints,
+    # not n-gram strings (PLANS.md "Near-dup verify"): the exploded
+    # shingle column is bigint end to end
+    from webextract.functions.dedup import candidate_shingle_sets
+
+    cands = spark.createDataFrame(
+        [(1, 8), (2, 9)], "doc_a long, doc_b long")
+    sets = candidate_shingle_sets(docs, cands)
+    assert dict(sets.dtypes)["shs"] == "array<bigint>"
+
+
+def test_embedding_lsh_banded_equi_join(spark):
+    # banded near-dup: keyed equi-joins on band_key only — a cartesian /
+    # broadcast-nested-loop here would be the all-pairs plan the banding
+    # exists to avoid
+    from webextract.functions.similarity import near_duplicate_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(near_duplicate_pairs_lsh(emb, threshold=0.3, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
+
+
+def test_text_features_prune_to_consumed_columns(spark, docs):
+    # with_text_features carries 11 derived columns; a consumer that
+    # aggregates only n_tokens must see NONE of the marker-filter or
+    # quality work in its optimized plan (column pruning through the
+    # staged projections)
+    from webextract.functions.text import with_text_features
+
+    q = with_text_features(docs).groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens"))
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "n_stop" not in optimized
+    assert "_r_" not in optimized          # no language ratio columns
+    assert "quality" not in optimized
+    assert "ArrayFilter" not in optimized  # no marker passes at all
