@@ -321,10 +321,11 @@ def test_media_transform_fake_and_real_seam(spark):
     assert sampled[1]["n_frames"] == math.ceil(
         (1 + int(digest1[8:12], 16) % 300) / 7)
 
-    # real backend: header decode works, pixel stage is the honest seam
+    # real backend: header decode works; the JPEG pixel stage is the one
+    # honest seam left (DCT codec genuinely absent)
     real = media_transform(
         spark.createDataFrame(
-            [Row(media_id=3, payload=_gif_bytes(8, 8, 5), kind="image")]),
+            [Row(media_id=3, payload=_jpeg_bytes(8, 8), kind="image")]),
         op="resize", width=10, height=10, backend="real").collect()[0]
     assert "NotImplementedError" in real["error"]
 
@@ -488,6 +489,149 @@ def test_media_transform_real_pixel_resize(spark):
         arr[ys][:, ys].tobytes()).hexdigest()
 
 
+def _lzw_codes(data: bytes, min_code: int) -> list[int]:
+    """Plain LZW code sequence (clear … codes … end)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes = [clear]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        codes.append(table[w])
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+        w = c
+    if w:
+        codes.append(table[w])
+    codes.append(end)
+    return codes
+
+
+def _pack_codes(codes: list[int], min_code: int) -> bytes:
+    """Bit-pack LZW codes replaying the DECODER's width schedule (width
+    bumps when the next table slot reaches 2^width) — so the packed
+    stream is valid for any spec-conforming decoder."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    n_entries = 0
+    prev_seen = False
+    out = bytearray()
+    acc = nbits = 0
+    for code in codes:
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            n_entries, code_size, prev_seen = 0, min_code + 1, False
+        elif code == end:
+            break
+        else:
+            if prev_seen and end + 1 + n_entries < 4096:
+                n_entries += 1
+                if end + 1 + n_entries == (1 << code_size) \
+                        and code_size < 12:
+                    code_size += 1
+            prev_seen = True
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif_frame(w, h, idxs, palette_rgb, min_code=2,
+                      interlace=False):
+    import struct
+
+    assert len(palette_rgb) % 3 == 0
+    n = len(palette_rgb) // 3
+    gct_bits = max(1, (n - 1).bit_length())
+    gct = palette_rgb + bytes(3 * ((2 << (gct_bits - 1)) - n))
+    if interlace:
+        order = [*range(0, h, 8), *range(4, h, 8),
+                 *range(2, h, 4), *range(1, h, 2)]
+        idxs = b"".join(idxs[y * w:(y + 1) * w] for y in order)
+    packed = _pack_codes(_lzw_codes(idxs, min_code), min_code)
+    out = (b"GIF89a" + struct.pack("<HH", w, h)
+           + bytes([0x80 | (gct_bits - 1), 0, 0]) + gct
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+           + bytes([0x40 if interlace else 0, min_code]))
+    for i in range(0, len(packed), 255):
+        chunk = packed[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def test_gif_lzw_pixel_roundtrip():
+    from webextract.functions.multimodal import _gif_pixels
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    # pattern with immediate repeats (KwKwK case) AND enough distinct
+    # digrams to push the table past the 2^(min_code+1) width bump
+    idxs = bytes((i * 7 + (i // 5)) % 4 for i in range(24 * 24))
+    got = _gif_pixels(_encode_gif_frame(24, 24, idxs, palette))
+    expected = b"".join(palette[3 * v:3 * v + 3] for v in idxs)
+    assert got == (24, 24, 3, expected)
+    # interlaced variant decodes to the SAME pixels
+    inter = _gif_pixels(_encode_gif_frame(24, 24, idxs, palette,
+                                          interlace=True))
+    assert inter == (24, 24, 3, expected)
+    # KwKwK pin: an aaaa... run forces code == next_code immediately
+    runs = b"\x00" * 40 + b"\x01" * 40
+    got2 = _gif_pixels(_encode_gif_frame(8, 10, runs, palette))
+    assert got2[3] == b"".join(palette[3 * v:3 * v + 3] for v in runs)
+
+
+def test_gif_pixels_on_real_world_gifs():
+    # ground truth beyond our own encoder: the stdlib's idlelib ships
+    # real GIFs written by real encoders (genuine LZW width bumps,
+    # interlacing, local tables) — every one must decode consistently
+    import glob
+    import os
+
+    import idlelib
+
+    from webextract.functions.multimodal import _gif_dims, _gif_pixels
+
+    icons = sorted(glob.glob(
+        os.path.join(os.path.dirname(idlelib.__file__), "Icons", "*.gif")))
+    if not icons:
+        import pytest
+        pytest.skip("no stdlib GIFs in this environment")
+    for path in icons:
+        b = open(path, "rb").read()
+        w, h, nch, px = _gif_pixels(b)
+        assert nch == 3 and len(px) == w * h * 3, path
+        sw, sh, _frames = _gif_dims(b)
+        assert 0 < w <= sw and 0 < h <= sh, path
+
+
+def test_media_transform_real_gif_resize(spark):
+    import numpy as np_
+
+    from webextract.functions.multimodal import media_transform
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    palette = bytes([10, 20, 30, 200, 100, 50, 0, 0, 0, 255, 255, 255])
+    idxs = bytes((i * 3) % 4 for i in range(6 * 6))
+    gif = _encode_gif_frame(6, 6, idxs, palette)
+    out = media_transform(
+        spark.createDataFrame([Row(media_id=1, payload=gif, kind="image")]),
+        op="resize", width=3, height=3, backend="real").collect()[0]
+    assert out["error"] is None
+    rgb = np_.frombuffer(
+        b"".join(palette[3 * v:3 * v + 3] for v in idxs),
+        dtype=np_.uint8).reshape(6, 6, 3)
+    assert out["digest"] == hashlib.md5(rgb[::2][:, ::2].tobytes()).hexdigest()
+
+
 def test_pixel_decoders_total_on_byte_soup():
     # per-row error contract: corrupt containers raise ValueError (caught
     # by the batch wrapper), never anything else, never hang
@@ -495,13 +639,16 @@ def test_pixel_decoders_total_on_byte_soup():
     from struct import error as struct_error
 
     from hypothesis import given, settings, strategies as st
-    from webextract.functions.multimodal import _bmp_pixels, _png_pixels
+    from webextract.functions.multimodal import (
+        _bmp_pixels, _gif_pixels, _png_pixels,
+    )
 
     @given(st.binary(max_size=300))
     @settings(max_examples=150, deadline=None)
     def run(junk):
         for dec, magic in ((_png_pixels, b"\x89PNG\r\n\x1a\n"),
-                           (_bmp_pixels, b"BM")):
+                           (_bmp_pixels, b"BM"),
+                           (_gif_pixels, b"GIF89a")):
             try:
                 dec(magic + junk)
             except (ValueError, zlib.error, struct_error, IndexError):

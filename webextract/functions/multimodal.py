@@ -8,12 +8,12 @@ never exceptions):
   the payload's md5 — reproducible anywhere, oracle-checkable in SQL.
 - ``backend="real"``: pure-Python container parsing — PNG IHDR, GIF
   logical screen + frame walk, JPEG SOFn scan, BMP info header — plus a
-  codec-free PIXEL stage for the formats stdlib can express: PNG (IDAT
-  zlib inflate → scanline unfilter → palette expand) and BMP (raw
-  24/32-bpp) decode to pixels and resample nearest-neighbor; GIF
-  frame-sampling counts real frames from the block walk. JPEG/GIF pixel
-  resampling genuinely needs an entropy codec (DCT/LZW) and stays a
-  per-row error — full PIL/ffmpeg plugs into the same seam.
+  codec-free PIXEL stage: PNG (IDAT zlib inflate → scanline unfilter →
+  palette expand), BMP (raw 24/32-bpp) and GIF (pure-Python GIF-LZW →
+  deinterlace → palette; first frame) decode to pixels and resample
+  nearest-neighbor; GIF frame-sampling counts real frames from the
+  block walk. JPEG resampling genuinely needs a DCT entropy codec and
+  stays a per-row error — full PIL/ffmpeg plugs into the same seam.
 
 This mirrors how the reference isolates its decode stage
 (``utils/image_utils.py:84-168``) behind a skippable boundary.
@@ -282,10 +282,130 @@ def _nn_resize(pix: bytes, w: int, h: int, nch: int,
     return arr[ys][:, xs].tobytes()
 
 
-# containers with a real pixel-decode path (codec-free: zlib / raw)
+def _gif_lzw(min_code: int, data: bytes, npix: int) -> bytes:
+    """GIF-flavor LZW decode (GIF89a spec, appendix F): variable code
+    width starting at min_code+1 bits, clear/end codes, width bump when
+    the next table slot reaches 2^width (capped at 12 bits). Returns
+    exactly ``npix`` color indices."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad LZW minimum code size {min_code}")
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = []
+    code_size = min_code + 1
+    prev: bytes | None = None
+    out = bytearray()
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = []
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                if len(out) < npix:
+                    raise ValueError("LZW stream ended short")
+                return bytes(out[:npix])
+            next_code = end + 1 + len(table)
+            if code < clear:
+                entry = base[code]
+            elif code < next_code:
+                entry = table[code - end - 1]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            if prev is not None and next_code < 4096:
+                # the new entry is prev + first byte of entry — when
+                # code == next_code this IS entry (already formed above)
+                table.append(prev + entry[:1])
+                if end + 2 + len(table) - 1 == (1 << code_size) \
+                        and code_size < 12:
+                    code_size += 1
+            out += entry
+            if len(out) >= npix:
+                return bytes(out[:npix])
+            prev = entry
+    raise ValueError("LZW stream ended short")
+
+
+def _gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """First-frame GIF pixel decode: block walk → LZW inflate →
+    (de)interlace → palette mapping. Animated GIFs yield frame 1 (the
+    resize contract for stills; frame SAMPLING uses the frame walk)."""
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    packed = b[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = b[pos:pos + n]
+        pos += n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor — decode THIS frame
+            if pos + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            fw, fh = struct.unpack_from("<HH", b, pos + 5)
+            local = b[pos + 9]
+            pos += 10
+            lct = b""
+            if local & 0x80:
+                n = 3 * (2 << (local & 0x07))
+                lct = b[pos:pos + n]
+                pos += n
+            palette = lct or gct
+            if not palette:
+                raise ValueError("GIF frame without a color table")
+            if fw * fh > 64 << 20:
+                raise ValueError("GIF frame too large")
+            min_code = b[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                stream += b[pos + 1:pos + 1 + b[pos]]
+                pos += 1 + b[pos]
+            idxs = _gif_lzw(min_code, bytes(stream), fw * fh)
+            if local & 0x40:  # interlaced: 4-pass row order
+                rows = [idxs[r * fw:(r + 1) * fw] for r in range(fh)]
+                order = [*range(0, fh, 8), *range(4, fh, 8),
+                         *range(2, fh, 4), *range(1, fh, 2)]
+                deinter: list[bytes] = [b""] * fh
+                for src_row, dst_y in enumerate(order):
+                    deinter[dst_y] = rows[src_row]
+                idxs = b"".join(deinter)
+            n_colors = len(palette) // 3
+            px = bytearray()
+            for v in idxs:
+                if v >= n_colors:
+                    raise ValueError("GIF index outside color table")
+                px += palette[3 * v:3 * v + 3]
+            return fw, fh, 3, bytes(px)
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image descriptor")
+
+
+# containers with a real pixel-decode path (codec-free: zlib / raw / LZW)
 _PIXEL_DECODERS = (
     (b"\x89PNG\r\n\x1a\n", _png_pixels),
     (b"BM", _bmp_pixels),
+    (b"GIF87a", _gif_pixels),
+    (b"GIF89a", _gif_pixels),
 )
 
 
@@ -349,12 +469,13 @@ def media_transform(media: DataFrame, op: str,
     ``md5(src_digest || ':' || op spec)`` — deterministic and exactly
     SQL-mirrorable, so the batching/partitioning/schema plumbing is
     oracle-checked end to end. ``backend="real"`` decodes actual pixels
-    for PNG/BMP (stdlib zlib inflate + unfilter / raw rows) and
-    resamples nearest-neighbor — the digest is the md5 of the resized
-    raw pixel bytes; ``frame_sample`` uses the real GIF frame walk.
-    JPEG/GIF pixel resampling needs an entropy codec this environment
-    does not ship and surfaces as a per-row error — the documented seam,
-    with the Spark-side plumbing identical between backends.
+    for PNG/BMP/GIF (zlib inflate + unfilter / raw rows / pure-Python
+    GIF-LZW, first frame) and resamples nearest-neighbor — the digest
+    is the md5 of the resized raw pixel bytes; ``frame_sample`` uses
+    the real GIF frame walk. JPEG pixel resampling needs a DCT entropy
+    codec this environment does not ship and surfaces as a per-row
+    error — the documented seam, with the Spark-side plumbing identical
+    between backends.
     """
     if op == "resize":
         if not width or not height:
@@ -398,8 +519,8 @@ def media_transform(media: DataFrame, op: str,
                             if dec is None:
                                 raise NotImplementedError(
                                     "pixel resample for this container "
-                                    "needs a codec library (JPEG/GIF); "
-                                    "PNG and BMP decode codec-free")
+                                    "needs a codec library (JPEG/DCT); "
+                                    "PNG, BMP and GIF decode codec-free")
                             w0, h0, nch, pix = dec(pb)
                             tw, th = clamp(width), clamp(height)
                             row["width"], row["height"] = tw, th
