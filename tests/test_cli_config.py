@@ -131,8 +131,13 @@ def test_cli_dedup_stages_custom_id_col(spark, tmp_path, capsys):
     spark.createDataFrame(rows).write.parquet(docs_path)
     stages = str(tmp_path / "stages")
     assert main(["dedup-stages", "--input", docs_path, "--output", stages,
-                 "--id-col", "page_id"]) == 0
+                 "--id-col", "page_id", "--n-hashes", "8",
+                 "--band-size", "2"]) == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["signatures"] == 2 and summary["pairs"] == 1
     cand_cols = spark.read.parquet(f"{stages}/candidates").columns
     assert cand_cols == ["doc_a", "doc_b"]
+    sig_cols = spark.read.parquet(f"{stages}/signatures").columns
+    assert sig_cols == ["page_id"] + [f"mh{k}" for k in range(8)]
+    meta = spark.read.json(f"{stages}/stage_meta").collect()[0]
+    assert (meta["n_hashes"], meta["band_size"]) == (8, 2)

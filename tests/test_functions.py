@@ -586,6 +586,14 @@ def test_gif_lzw_pixel_roundtrip():
     runs = b"\x00" * 40 + b"\x01" * 40
     got2 = _gif_pixels(_encode_gif_frame(8, 10, runs, palette))
     assert got2[3] == b"".join(palette[3 * v:3 * v + 3] for v in runs)
+    # animated: a second frame appended after the first — resize decodes
+    # frame 1 only (append a GCE extension + a copy of the image block)
+    single = _encode_gif_frame(24, 24, idxs, palette)
+    img_start = single.index(b"\x2c")
+    animated = (single[:-1]  # drop trailer
+                + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                + single[img_start:-1] + b"\x3b")
+    assert _gif_pixels(animated) == (24, 24, 3, expected)
 
 
 def test_gif_pixels_on_real_world_gifs():

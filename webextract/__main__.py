@@ -107,6 +107,12 @@ def main(argv: list[str] | None = None) -> int:
              "{out}/signatures, {out}/candidates, {out}/pairs")
     _add_corpus_args(stages)
     stages.add_argument("--output", required=True, help="stage directory")
+    stages.add_argument("--n-hashes", type=int, default=4,
+                        help="MinHash signature width (one md5 per "
+                             "shingle per 4 hashes)")
+    stages.add_argument("--band-size", type=int, default=2,
+                        help="minhashes per LSH band (r of r-by-b); "
+                             "n-hashes must be divisible by it")
     curate = sub.add_parser(
         "curate",
         help="quality gate -> exact dedup -> near-dup drop; survivors to "
@@ -155,13 +161,18 @@ def _run_dedup_stages(spark, args) -> dict:
         lsh_candidate_pairs, near_duplicate_docs, with_minhash,
     )
 
+    if args.n_hashes % args.band_size:
+        raise SystemExit("--n-hashes must be divisible by --band-size")
     docs = spark.read.parquet(args.input)
     out = args.output.rstrip("/")
     with cache_scope() as scope:
-        sig = with_minhash(docs, args.id_col, args.text_col)
+        sig = with_minhash(docs, args.id_col, args.text_col,
+                           n_hashes=args.n_hashes)
         sig.write.mode("overwrite").parquet(f"{out}/signatures")
         sig = spark.read.parquet(f"{out}/signatures")
         cands = lsh_candidate_pairs(sig, id_col=args.id_col,
+                                    n_hashes=args.n_hashes,
+                                    band_size=args.band_size,
                                     persist_bands=False)
         cands.write.mode("overwrite").parquet(f"{out}/candidates")
         cands = spark.read.parquet(f"{out}/candidates")
@@ -174,8 +185,10 @@ def _run_dedup_stages(spark, args) -> dict:
     # scan excludes [curate_t, stage_t)); written as a 1-row json dir so
     # it rides any Hadoop filesystem, not just local paths
     spark.createDataFrame(
-        [(float(args.threshold), args.id_col, args.text_col)],
-        "threshold double, id_col string, text_col string",
+        [(float(args.threshold), args.id_col, args.text_col,
+          args.n_hashes, args.band_size)],
+        "threshold double, id_col string, text_col string, "
+        "n_hashes int, band_size int",
     ).coalesce(1).write.mode("overwrite").json(f"{out}/stage_meta")
     return {
         "signatures": spark.read.parquet(f"{out}/signatures").count(),
