@@ -116,6 +116,18 @@ def test_cli_dedup_stages_then_staged_curate(spark, tmp_path, capsys):
               str(tmp_path / "bad"), "--stages", stages,
               "--id-col", "other_id"])
 
+    # a pre-metadata stage dir (stage_meta missing): thresholds cannot be
+    # checked, so the conservative path re-verifies from candidates
+    import shutil
+    shutil.rmtree(f"{stages}/stage_meta")
+    nometa_out = str(tmp_path / "nometa")
+    assert main(["curate", "--input", docs_path, "--output", nometa_out,
+                 "--min-quality", "0.3", "--stages", stages]) == 0
+    nometa = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert nometa["staged_pairs_ignored"] is True
+    assert sorted(r["doc_id"]
+                  for r in spark.read.parquet(nometa_out).collect()) == [1]
+
 
 def test_cli_dedup_stages_custom_id_col(spark, tmp_path, capsys):
     # non-default --id-col must flow through every stage (the candidates
