@@ -942,3 +942,80 @@ def test_near_duplicate_docs_composed(docs):
         assert staged == out
     finally:
         sig.unpersist()
+
+
+def test_png_bomb_guard_rejects_before_inflate():
+    # decompression-bomb guard: huge DECLARED dims in a tiny file must be
+    # rejected on the IHDR check, never ballooning memory on the inflate
+    import struct
+    import zlib
+
+    from webextract.functions.multimodal import _png_pixels
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="pixel budget"):
+        _png_pixels(bomb)
+
+
+def test_png_bounded_inflate_with_oversized_idat():
+    # small declared dims but an IDAT that inflates to ~1 MiB beyond them:
+    # output stays bounded by the declared scanline budget and the decode
+    # of the declared region still succeeds
+    import struct
+    import zlib
+
+    from webextract.functions.multimodal import _png_pixels
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    w = h = 2
+    pix = bytes(range(w * h * 3))
+    scan = b"".join(
+        b"\x00" + pix[y * w * 3:(y + 1) * w * 3] for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(scan + b"\x07" * (1 << 20)))
+           + chunk(b"IEND", b""))
+    assert _png_pixels(png) == (w, h, 3, pix)
+
+
+def test_gif_subrect_frame_composites_onto_canvas():
+    # optimized animated GIFs often store frame 1 as a sub-rectangle of
+    # the logical screen: the decode must composite it at (left, top) on
+    # a background-color canvas, with GCE-transparent pixels showing the
+    # background (ADVICE r4) — not resize the bare frame rect
+    import struct
+
+    from webextract.functions.multimodal import _gif_pixels
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    idxs = bytes([0, 1, 2, 1, 0, 2])  # 3x2 frame; index 2 = transparent
+    packed = _pack_codes(_lzw_codes(idxs, 2), 2)
+    gif = (b"GIF89a" + struct.pack("<HH", 6, 4)
+           + bytes([0x80 | 1, 3, 0]) + palette        # GCT, bg index 3
+           + b"\x21\xf9\x04\x01\x00\x00\x02\x00"      # GCE: transp idx 2
+           + b"\x2c" + struct.pack("<HHHH", 2, 1, 3, 2) + b"\x00"
+           + bytes([2, len(packed)]) + packed + b"\x00\x3b")
+    w, h, nch, px = _gif_pixels(gif)
+    assert (w, h, nch) == (6, 4, 3)
+    bg = palette[9:12]
+
+    def pix(x, y):
+        return px[3 * (y * 6 + x):3 * (y * 6 + x) + 3]
+
+    assert pix(0, 0) == bg and pix(5, 3) == bg   # untouched canvas
+    assert pix(2, 1) == palette[0:3]             # frame row 0: [0, 1, T]
+    assert pix(3, 1) == palette[3:6]
+    assert pix(4, 1) == bg                       # transparent -> bg shows
+    assert pix(2, 2) == palette[3:6]             # frame row 1: [1, 0, T]
+    assert pix(3, 2) == palette[0:3]
+    assert pix(4, 2) == bg

@@ -137,3 +137,21 @@ _pdfish = st.one_of(
 def test_pdf_extract_total_on_byte_soup(payload):
     r = extract_pdf("u", b"%PDF-" + payload)
     assert isinstance(r.text, str)
+
+
+def test_pdf_indirect_length_never_truncates_body():
+    # /Length 28 0 R is an INDIRECT reference: its object number must not
+    # be used as a byte count (ADVICE r4) — with the true endstream at
+    # start+32, the old match truncated the body mid-operator to 28 bytes
+    from webextract.pdf_extract import _LENGTH_RE
+
+    assert _LENGTH_RE.search(b"/Length 28 0 R") is None
+    assert _LENGTH_RE.search(b"/Length 28") is not None
+    assert _LENGTH_RE.search(b"/Length 28 0 X") is not None
+
+    body = b"BT (indirect length body) Tj ET"
+    assert len(body) == 31
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length 28 0 R >>\nstream\n" + body
+           + b"\nendstream\nendobj\n2 0 obj\n31\nendobj\n")
+    r = extract_pdf("u://pdf", pdf)
+    assert "indirect length body" in r.text

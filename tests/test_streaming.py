@@ -183,3 +183,58 @@ def test_stateful_dedup_event_time_ttl(spark, tmp_path):
     a_texts = sorted(t for u, t in final if u == "u://a")
     assert a_texts == ["first crawl of a", "post-expiry recrawl of a"]
     assert ("u://y", "first crawl of y") in final
+
+
+def test_ttl_correct_under_non_utc_session_timezone(spark, tmp_path):
+    """Arrow hands the state function session-tz-NAIVE timestamps while
+    getCurrentWatermarkMs() is true UTC epoch ms (ADVICE r4): under
+    Etc/GMT+12 (UTC-12) an unlocalized .value makes every TTL fire 12 h
+    early, so a revisit INSIDE the horizon would wrongly re-emit. The
+    localized path must keep the state alive."""
+    import datetime as dt
+    from webextract.streaming import stream_dedup_extraction
+
+    base = tmp_path / "in"
+    base.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(base / name))
+
+    def run(glob):
+        q = stream_dedup_extraction(
+            spark, f"{base}/{glob}", str(tmp_path / "out"),
+            str(tmp_path / "cp"), revisit_horizon="1 day",
+            watermark="1 minute")
+        q.awaitTermination(120)
+        return sorted(
+            (r["url"], r["extracted_text"])
+            for r in spark.read.parquet(str(tmp_path / "out")).collect())
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Etc/GMT+12")
+    try:
+        t0 = dt.datetime(2024, 1, 1)
+        drop("d0.parquet", [
+            ("u://a", t0, b"<p>first crawl of a</p>", None, None)])
+        run("d0.parquet")
+        # z advances the watermark to t0+18h-1min: past a skewed TTL of
+        # t0+12h, well before the true TTL of t0+24h
+        drop("d1.parquet", [
+            ("u://z", t0 + dt.timedelta(hours=18),
+             b"<p>first crawl of z</p>", None, None)])
+        run("d[01].parquet")
+        # a batch with no a-data: an early (skewed) timer would fire here
+        drop("d2.parquet", [
+            ("u://y", t0 + dt.timedelta(hours=18, minutes=30),
+             b"<p>first crawl of y</p>", None, None)])
+        run("d[012].parquet")
+        # revisit INSIDE the true horizon: must still be deduped
+        drop("d3.parquet", [
+            ("u://a", t0 + dt.timedelta(hours=20),
+             b"<p>revisit inside horizon</p>", None, None)])
+        final = run("d*.parquet")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    a_texts = [t for u, t in final if u == "u://a"]
+    assert a_texts == ["first crawl of a"]

@@ -108,6 +108,10 @@ def _gif_dims(b: bytes) -> tuple[int, int, int | None]:
     return w, h, max(frames, 1)
 
 
+# decoded-pixel budget for untrusted payloads: PNG/GIF declared dims are
+# rejected above this BEFORE any inflate work (bomb guard)
+_MAX_PIXEL_BYTES = 64 << 20
+
 # SOF0..SOF15 carry frame dimensions, except DHT/JPG/DAC which reuse
 # the 0xC4/0xC8/0xCC slots
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
@@ -201,9 +205,17 @@ def _png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if interlace:
         raise ValueError("interlaced (Adam7) PNG unsupported")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
+    # decompression-bomb guard (untrusted crawl data): reject oversized
+    # declared dims BEFORE inflating, and inflate with an output bound —
+    # a crafted IHDR + ~1000:1 deflate stream must not balloon executor
+    # memory past the decoded-size budget (same cap as the GIF path)
+    if w * h * nch > _MAX_PIXEL_BYTES:
+        raise ValueError("PNG dimensions exceed pixel budget")
     stride = w * nch
-    if len(raw) < h * (stride + 1):
+    want = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), want)
+    if len(raw) < want:
         raise ValueError("truncated PNG pixel data")
     out = bytearray()
     prev = bytearray(stride)
@@ -337,30 +349,45 @@ def _gif_lzw(min_code: int, data: bytes, npix: int) -> bytes:
 
 def _gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """First-frame GIF pixel decode: block walk → LZW inflate →
-    (de)interlace → palette mapping. Animated GIFs yield frame 1 (the
-    resize contract for stills; frame SAMPLING uses the frame walk)."""
+    (de)interlace → palette mapping → canvas composite. Animated GIFs
+    yield frame 1 (the resize contract for stills; frame SAMPLING uses
+    the frame walk).
+
+    Canvas-accurate: a first frame that is a sub-rectangle of the
+    logical screen (common in optimized animated GIFs) is composited
+    onto a logical-screen-sized canvas at its descriptor left/top,
+    with the background color filling the rest and GCE-transparent
+    pixels leaving the background visible — so the decode matches what
+    a viewer shows, not just the frame rect."""
     if len(b) < 13:
         raise ValueError("truncated GIF header")
-    packed = b[10]
+    ls_w, ls_h = struct.unpack_from("<HH", b, 6)
+    packed, bg_index = b[10], b[11]
     pos = 13
     gct = b""
     if packed & 0x80:
         n = 3 * (2 << (packed & 0x07))
         gct = b[pos:pos + n]
         pos += n
+    transparent = None  # GCE transparent color index for the next frame
     while pos < len(b):
         block = b[pos]
         if block == 0x3B:
             break
         if block == 0x21:  # extension: label + sub-blocks
+            label = b[pos + 1] if pos + 1 < len(b) else 0
+            body = bytearray()
             pos += 2
             while pos < len(b) and b[pos] != 0:
+                body += b[pos + 1:pos + 1 + b[pos]]
                 pos += 1 + b[pos]
             pos += 1
+            if label == 0xF9 and len(body) >= 4 and body[0] & 0x01:
+                transparent = body[3]  # graphic control: transparency on
         elif block == 0x2C:  # image descriptor — decode THIS frame
             if pos + 10 > len(b):
                 raise ValueError("truncated GIF image descriptor")
-            fw, fh = struct.unpack_from("<HH", b, pos + 5)
+            fx, fy, fw, fh = struct.unpack_from("<HHHH", b, pos + 1)
             local = b[pos + 9]
             pos += 10
             lct = b""
@@ -371,7 +398,7 @@ def _gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             palette = lct or gct
             if not palette:
                 raise ValueError("GIF frame without a color table")
-            if fw * fh > 64 << 20:
+            if fw * fh > _MAX_PIXEL_BYTES or ls_w * ls_h > _MAX_PIXEL_BYTES:
                 raise ValueError("GIF frame too large")
             min_code = b[pos]
             pos += 1
@@ -389,12 +416,36 @@ def _gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                     deinter[dst_y] = rows[src_row]
                 idxs = b"".join(deinter)
             n_colors = len(palette) // 3
-            px = bytearray()
-            for v in idxs:
-                if v >= n_colors:
-                    raise ValueError("GIF index outside color table")
-                px += palette[3 * v:3 * v + 3]
-            return fw, fh, 3, bytes(px)
+            full = (fx == 0 and fy == 0 and fw == ls_w and fh == ls_h
+                    and transparent is None)
+            if full:
+                # fast path: the frame IS the canvas, map palette directly
+                px = bytearray()
+                for v in idxs:
+                    if v >= n_colors:
+                        raise ValueError("GIF index outside color table")
+                    px += palette[3 * v:3 * v + 3]
+                return fw, fh, 3, bytes(px)
+            # composite onto the logical screen: background color fill
+            # (GCT at the header's background index; black without a GCT),
+            # frame pasted at (left, top), transparent indices skipped
+            if fx + fw > ls_w or fy + fh > ls_h:
+                raise ValueError("GIF frame outside logical screen")
+            bg = (gct[3 * bg_index:3 * bg_index + 3]
+                  if gct and 3 * bg_index + 3 <= len(gct) else b"\x00\x00\x00")
+            canvas = bytearray(bg * (ls_w * ls_h))
+            for row in range(fh):
+                dst = 3 * ((fy + row) * ls_w + fx)
+                src = row * fw
+                for col in range(fw):
+                    v = idxs[src + col]
+                    if v == transparent:
+                        continue
+                    if v >= n_colors:
+                        raise ValueError("GIF index outside color table")
+                    canvas[dst + 3 * col:dst + 3 * col + 3] = \
+                        palette[3 * v:3 * v + 3]
+            return ls_w, ls_h, 3, bytes(canvas)
         else:
             raise ValueError(f"bad GIF block 0x{block:02x}")
     raise ValueError("GIF without an image descriptor")

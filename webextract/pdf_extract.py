@@ -30,7 +30,12 @@ from .html_extract import ExtractResult, _normalize_ws, assemble_spans
 _HEADER_MIN_PT = 14.0
 
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# negative lookaheads: an INDIRECT length (/Length 5 0 R) must not match —
+# capturing its object number as a byte count could silently mis-truncate
+# a body when an 'endstream' happens to land near start+objnum. (?!\d)
+# pins \d+ to the whole number so backtracking can't split '28' into '2'
+# + '8 0 R' and sneak past the R-reference lookahead
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _TF_RE = re.compile(rb"/\S+\s+(\d+(?:\.\d+)?)\s+Tf")
 # tokens inside a text object we care about, in order

@@ -103,6 +103,16 @@ def dedup_first_seen(pages_stream: DataFrame,
     state_schema = "seen boolean"
     horizon_ms = (int(pd.Timedelta(revisit_horizon).total_seconds() * 1000)
                   if revisit_horizon else None)
+    # Arrow delivers warc_ts as session-timezone-naive pandas timestamps,
+    # while getCurrentWatermarkMs() is true UTC epoch ms — localize before
+    # taking .value or the event-time TTL skews by the session tz offset
+    session_tz = pages_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone")
+
+    def _utc_ms(ts: pd.Timestamp) -> int:
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz)
+        return int(ts.value) // 1_000_000
 
     def first_seen(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -119,7 +129,7 @@ def dedup_first_seen(pages_stream: DataFrame,
             if first is None or (head["warc_ts"].iloc[0]
                                  < first["warc_ts"].iloc[0]):
                 first = head
-            tail_ms = pdf["warc_ts"].iloc[-1].value // 1_000_000
+            tail_ms = _utc_ms(pdf["warc_ts"].iloc[-1])
             if latest_ms is None or tail_ms > latest_ms:
                 latest_ms = tail_ms
         emitted = state.exists
