@@ -321,13 +321,16 @@ def test_media_transform_fake_and_real_seam(spark):
     assert sampled[1]["n_frames"] == math.ceil(
         (1 + int(digest1[8:12], 16) % 300) / 7)
 
-    # real backend: header decode works; the JPEG pixel stage is the one
-    # honest seam left (DCT codec genuinely absent)
+    # real backend: a header-only JPEG (no scan data) is a per-row
+    # error, never an exception; an unknown container names the seam
     real = media_transform(
         spark.createDataFrame(
-            [Row(media_id=3, payload=_jpeg_bytes(8, 8), kind="image")]),
-        op="resize", width=10, height=10, backend="real").collect()[0]
-    assert "NotImplementedError" in real["error"]
+            [Row(media_id=3, payload=_jpeg_bytes(8, 8), kind="image"),
+             Row(media_id=4, payload=b"\x00unknown bytes", kind="image")]),
+        op="resize", width=10, height=10, backend="real").collect()
+    byid = {r["media_id"]: r for r in real}
+    assert "no JPEG scan data" in byid[3]["error"]
+    assert "unsupported media container" in byid[4]["error"]
 
     with pytest.raises(ValueError, match="unknown media op"):
         media_transform(df, op="rotate")
@@ -1019,3 +1022,65 @@ def test_gif_subrect_frame_composites_onto_canvas():
     assert pix(2, 2) == palette[3:6]             # frame row 1: [1, 0, T]
     assert pix(3, 2) == palette[0:3]
     assert pix(4, 2) == bg
+
+
+def test_media_transform_real_jpeg_resize(spark):
+    # the former three-round seam: real-backend resize now decodes
+    # baseline JPEG (Huffman+IDCT, functions/jpeg.py) like any other
+    # container — digest = md5 of the NN-resized decoded pixels
+    import numpy as np_
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_jpeg import encode_jpeg
+    from webextract.functions.jpeg import jpeg_pixels
+    from webextract.functions.multimodal import media_transform
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    w, h = 16, 8
+    pix = bytes([120, 64, 200]) * (w * h)
+    jp = encode_jpeg(w, h, pix)
+    out = media_transform(
+        spark.createDataFrame([Row(media_id=1, payload=jp, kind="image")]),
+        op="resize", width=4, height=4, backend="real").collect()[0]
+    assert out["error"] is None
+    assert (out["width"], out["height"]) == (4, 4)
+    dw, dh, nch, raw = jpeg_pixels(jp)
+    arr = np_.frombuffer(raw, dtype=np_.uint8).reshape(dh, dw, nch)
+    ys = (np_.arange(4) * dh) // 4
+    xs = (np_.arange(4) * dw) // 4
+    assert out["digest"] == hashlib.md5(
+        arr[ys][:, xs].tobytes()).hexdigest()
+
+    # progressive JPEG stays a per-row error (documented scope limit)
+    prog = bytearray(jp)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    bad = media_transform(
+        spark.createDataFrame(
+            [Row(media_id=2, payload=bytes(prog), kind="image")]),
+        op="resize", width=4, height=4, backend="real").collect()[0]
+    assert "progressive" in bad["error"]
+
+
+def test_media_transform_injected_decoder_seam(spark):
+    # decoder= hook: production installs a native codec; it overrides the
+    # pure-Python pixel stage for every container and its output feeds
+    # the same resize/digest plumbing
+    from webextract.functions.multimodal import media_transform
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+
+    def _stub_decoder(payload: bytes):
+        # 2x1 gray plane regardless of payload — a stand-in native codec
+        # (nested def: cloudpickle ships it by value to executors)
+        return 2, 1, 1, bytes([10, 250])
+    png = _encode_png(4, 4, 3, bytes(range(48)), [0])
+    out = media_transform(
+        spark.createDataFrame([Row(media_id=1, payload=png, kind="image")]),
+        op="resize", width=2, height=2, backend="real",
+        decoder=_stub_decoder).collect()[0]
+    assert out["error"] is None
+    # NN-resize of the stub's 2x1 gray plane to 2x2
+    assert out["digest"] == hashlib.md5(bytes([10, 250, 10, 250])).hexdigest()

@@ -8,14 +8,21 @@ never exceptions):
   the payload's md5 — reproducible anywhere, oracle-checkable in SQL.
 - ``backend="real"``: pure-Python container parsing — PNG IHDR, GIF
   logical screen + frame walk, JPEG SOFn scan, BMP info header — plus a
-  codec-free PIXEL stage: PNG (IDAT zlib inflate → scanline unfilter →
-  palette expand), BMP (raw 24/32-bpp) and GIF (pure-Python GIF-LZW →
-  deinterlace → palette; first frame) decode to pixels and resample
-  nearest-neighbor; GIF frame-sampling counts real frames from the
-  block walk. JPEG resampling genuinely needs a DCT entropy codec and
-  stays a per-row error — full PIL/ffmpeg plugs into the same seam.
+  pure-Python PIXEL stage: PNG (IDAT zlib inflate → scanline unfilter →
+  palette expand), BMP (raw 24/32-bpp), GIF (pure-Python GIF-LZW →
+  deinterlace → palette → canvas composite; first frame) and baseline
+  JPEG (:mod:`webextract.functions.jpeg`: Huffman entropy decode +
+  8×8 IDCT + YCbCr→RGB) decode to pixels and resample nearest-neighbor;
+  GIF frame-sampling counts real frames from the block walk.
+  Progressive JPEG remains a per-row error.
 
-This mirrors how the reference isolates its decode stage
+Codec-speed seam: the pure-Python pixel decoders are deterministic and
+dependency-free but ~100× slower than native codecs (libjpeg-turbo,
+libpng). Production installs a native decoder via the ``decoder=``
+hook on :func:`media_transform` — any callable
+``payload -> (width, height, channels, raw_pixel_bytes)`` (e.g. a PIL
+wrapper) — while the pure-Python path stays the reproducible oracle
+fallback. This mirrors how the reference isolates its decode stage
 (``utils/image_utils.py:84-168``) behind a skippable boundary.
 """
 
@@ -451,12 +458,20 @@ def _gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("GIF without an image descriptor")
 
 
-# containers with a real pixel-decode path (codec-free: zlib / raw / LZW)
+def _jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    from .jpeg import jpeg_pixels
+
+    return jpeg_pixels(b)
+
+
+# containers with a pure-Python pixel-decode path (zlib / raw / LZW /
+# from-spec baseline-JPEG Huffman+IDCT)
 _PIXEL_DECODERS = (
     (b"\x89PNG\r\n\x1a\n", _png_pixels),
     (b"BM", _bmp_pixels),
     (b"GIF87a", _gif_pixels),
     (b"GIF89a", _gif_pixels),
+    (b"\xff\xd8", _jpeg_pixels),
 )
 
 
@@ -509,7 +524,8 @@ MEDIA_TRANSFORM_SCHEMA = StructType([
 def media_transform(media: DataFrame, op: str,
                     width: int | None = None, height: int | None = None,
                     frame_every: int | None = None,
-                    backend: str = "fake") -> DataFrame:
+                    backend: str = "fake",
+                    decoder=None) -> DataFrame:
     """Media transform plumbing over Arrow batches: ``op`` is ``resize``
     (target width×height, aspect ignored) or ``frame_sample`` (keep every
     ``frame_every``-th frame of a video/animation).
@@ -520,13 +536,19 @@ def media_transform(media: DataFrame, op: str,
     ``md5(src_digest || ':' || op spec)`` — deterministic and exactly
     SQL-mirrorable, so the batching/partitioning/schema plumbing is
     oracle-checked end to end. ``backend="real"`` decodes actual pixels
-    for PNG/BMP/GIF (zlib inflate + unfilter / raw rows / pure-Python
-    GIF-LZW, first frame) and resamples nearest-neighbor — the digest
-    is the md5 of the resized raw pixel bytes; ``frame_sample`` uses
-    the real GIF frame walk. JPEG pixel resampling needs a DCT entropy
-    codec this environment does not ship and surfaces as a per-row
-    error — the documented seam, with the Spark-side plumbing identical
+    for PNG/BMP/GIF/baseline-JPEG (zlib inflate + unfilter / raw rows /
+    pure-Python GIF-LZW with canvas composite / from-spec Huffman+IDCT,
+    first frame) and resamples nearest-neighbor — the digest is the md5
+    of the resized raw pixel bytes; ``frame_sample`` uses the real GIF
+    frame walk. Containers outside that set (and progressive JPEG)
+    surface as per-row errors, with the Spark-side plumbing identical
     between backends.
+
+    ``decoder``: optional callable ``payload -> (w, h, channels,
+    raw_pixels)`` replacing the pure-Python pixel stage — the
+    production seam for native codecs (PIL / libjpeg-turbo are ~100×
+    faster than the from-spec Python decoders). Its exceptions follow
+    the same per-row error contract. Ignored by the fake backend.
     """
     if op == "resize":
         if not width or not height:
@@ -561,17 +583,18 @@ def media_transform(media: DataFrame, op: str,
                         pb = bytes(payload)
                         src = decode(pb, kind)
                         if backend != "fake" and op == "resize":
-                            # real pixel stage: codec-free PNG/BMP decode
-                            # + nearest-neighbor resample; digest is the
-                            # md5 of the RESIZED raw pixels
-                            dec = next(
+                            # real pixel stage: decode + nearest-neighbor
+                            # resample; digest is the md5 of the RESIZED
+                            # raw pixels. An injected ``decoder`` (native
+                            # codec) takes precedence over the
+                            # pure-Python per-container decoders.
+                            dec = decoder or next(
                                 (d for m, d in _PIXEL_DECODERS
                                  if pb.startswith(m)), None)
                             if dec is None:
                                 raise NotImplementedError(
-                                    "pixel resample for this container "
-                                    "needs a codec library (JPEG/DCT); "
-                                    "PNG, BMP and GIF decode codec-free")
+                                    "no pixel decoder for this container"
+                                    " — install one via decoder=")
                             w0, h0, nch, pix = dec(pb)
                             tw, th = clamp(width), clamp(height)
                             row["width"], row["height"] = tw, th
