@@ -205,6 +205,26 @@ def q_dup_groups(spark, sf_dir):
         near_duplicate_docs(_dup_corpus(spark, sf_dir), threshold=0.8))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    # CCNet-style paragraph dedup: every doc gains a corpus-wide footer
+    # paragraph (and even docs a second one) — both exceed
+    # max_occurrences and are dropped, the unique bodies survive
+    from webextract.functions.dedup import paragraph_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter for updates"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\ncookie notice we use cookies"))
+            .otherwise(F.lit(""))))
+    out = paragraph_dedup(corpus, max_occurrences=3)
+    return out.select(F.col("id").alias("doc_id"), "kept_text",
+                      "n_paras", "n_dropped")
+
+
 def q_knn_cosine(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=3)
@@ -255,37 +275,54 @@ def q_lang_id(spark, sf_dir):
         F.count("*").alias("n_docs"))
 
 
-def q_lang_id_mixed(spark, sf_dir):
-    # multilingual detection surface: documents.text is English-ish word
-    # salad for every lang label, so the plain lang_id query can only
-    # ever guess en/und. This query builds a DETERMINISTIC multilingual
-    # corpus — each doc labeled de/en/es/fr gets a tail of that
-    # language's function words (10x the marker set, enough to dominate
-    # the base text's English markers); zh keeps the original text — and
-    # checks the detector recovers the label: the confusion matrix over
-    # (lang, guess_lang) shows one diagonal guess class per marker
-    # language. Exactly mirrored in SQL (same CASE, same literals).
+def _mixed_docs(spark, sf_dir):
+    """Deterministic multilingual corpus: each doc labeled de/en/es/fr
+    gets a tail of that language's function words (10× the marker set,
+    enough to dominate the base text's English markers); other labels
+    keep the original text. Exactly mirrored in SQL (same CASE, same
+    literals)."""
     from webextract.functions.text import LANG_MARKERS
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    tail = F.lit("")
     expr = F.col("text")
     for code in sorted(LANG_MARKERS):
         words = " ".join(LANG_MARKERS[code] * 10)
         expr = F.when(F.col("lang") == code,
                       F.concat(F.col("text"), F.lit(" " + words))) \
             .otherwise(expr)
-    mixed = docs.withColumn("text", expr)
-    feats = with_text_features(mixed)
+    return docs.withColumn("text", expr)
+
+
+def q_lang_id_mixed(spark, sf_dir):
+    # multilingual detection surface: documents.text is English-ish word
+    # salad for every lang label, so the plain lang_id query can only
+    # ever guess en/und. Over the mixed corpus, the confusion matrix
+    # over (lang, guess_lang) shows one diagonal guess class per marker
+    # language.
+    feats = with_text_features(_mixed_docs(spark, sf_dir))
     return feats.groupBy("lang", "guess_lang").agg(
         F.count("*").alias("n_docs"))
 
 
 def q_quality_scores(spark, sf_dir):
     return with_text_features(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "n_stop", "stop_ratio", "mean_word_len",
-        "symbol_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+        "doc_id", "n_tokens", "guess_lang", "n_stop", "stop_ratio",
+        "mean_word_len", "symbol_ratio", "bullet_line_ratio",
+        "ellipsis_line_ratio", "dup_line_frac", "top2gram_char_frac",
         "quality_score", "fingerprint")
+
+
+def q_quality_scores_multilang(spark, sf_dir):
+    # language-aware quality base on the deterministic multilingual
+    # corpus (same construction as lang_id_mixed): per guessed language,
+    # the average stop_ratio and quality_score — with an English-only
+    # stopword base every non-en row would show a depressed stop_ratio
+    feats = with_text_features(_mixed_docs(spark, sf_dir))
+    return feats.groupBy("guess_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
 
 
 def q_token_counts_by_source(spark, sf_dir):
@@ -472,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_docs": q_near_dup_docs,
         "dup_groups": q_dup_groups,
+        "paragraph_dedup": q_paragraph_dedup,
         "knn_cosine": q_knn_cosine,
         "near_dup_embeddings": q_near_dup_embeddings,
         "near_dup_embeddings_lsh": q_near_dup_embeddings_lsh,
@@ -480,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_mixed": q_lang_id_mixed,
         "quality_scores": q_quality_scores,
+        "quality_scores_multilang": q_quality_scores_multilang,
         "token_counts_by_source": q_token_counts_by_source,
         "top_longest_docs": q_top_longest_docs,
         "dup_url_check": q_dup_url_check,
@@ -754,6 +793,40 @@ def oracle_sql() -> dict[str, str]:
             {_SQL_GROUPS_TAIL}
             SELECT id AS doc_id, group_id FROM grp
         """,
+        "paragraph_dedup": f"""
+            WITH src AS (
+              SELECT doc_id,
+                     text || chr(10)
+                          || 'subscribe to our newsletter for updates'
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN chr(10)
+                                       || 'cookie notice we use cookies'
+                                  ELSE '' END AS text
+              FROM documents),
+            t AS (SELECT doc_id, string_split(text, chr(10)) AS ps
+                  FROM src),
+            p0 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(ps) + 1),
+                              i -> struct_pack(pos := i, para := ps[i])))
+                            AS u
+                   FROM t),
+            p1 AS (SELECT doc_id, u.pos AS pos,
+                          trim(regexp_replace(u.para, '\\s+', ' ', 'g'))
+                            AS pnorm
+                   FROM p0),
+            p AS (SELECT doc_id, pos, pnorm, {_H60.format(x='pnorm')} AS h
+                  FROM p1 WHERE length(pnorm) > 0),
+            c AS (SELECT h, COUNT(*) AS n_occ FROM p GROUP BY 1),
+            k AS (SELECT p.*, c.n_occ <= 3 AS keep FROM p JOIN c USING (h))
+            SELECT doc_id,
+                   array_to_string(list(pnorm ORDER BY pos)
+                                   FILTER (WHERE keep), chr(10))
+                     AS kept_text,
+                   COUNT(*) AS n_paras,
+                   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_dropped
+            FROM k GROUP BY doc_id
+        """,
         "knn_cosine": """
             WITH e AS (SELECT vec_id,
                               list_transform(embedding,
@@ -811,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "lang_id_mixed": _lang_id_mixed_sql(),
         "quality_scores": _quality_sql(),
+        "quality_scores_multilang": _quality_multilang_sql(),
         "token_counts_by_source": f"""
             WITH n AS (SELECT source, {norm} AS norm FROM documents),
             t AS (SELECT source,
@@ -1118,19 +1192,38 @@ def _lang_id_sql(src: str = "documents") -> str:
 
 
 def _sql_quality_chain(src: str) -> str:
-    """CTE chain ``qn→qt→qf→qr→q`` over ``src``(…, doc_id, text):
-    mirror of text.with_text_features — ``q`` carries doc_id, norm,
-    n_tokens, n_stop, stop_ratio, mean_word_len, symbol_ratio,
-    bullet_line_ratio, ellipsis_line_ratio, quality_score, fingerprint.
-    Line ratios count over the RAW text with chr(10) padding, exactly as
-    the Spark side pads with newlines."""
+    """CTE chain ``qn→qt→ql→qf→(qg/qgc/qtop)→qr→q`` over
+    ``src``(…, doc_id, text): mirror of text.with_text_features — ``q``
+    carries doc_id, norm, n_tokens, guess_lang, n_stop, stop_ratio,
+    mean_word_len, symbol_ratio, bullet_line_ratio, ellipsis_line_ratio,
+    dup_line_frac, top2gram_char_frac, quality_score, fingerprint.
+    Line signals count over the RAW text with chr(10) padding, exactly
+    as the Spark side pads with newlines; the top-2-gram argmax uses
+    ORDER BY count DESC, gram ASC — the tiebreak the Spark sorted-array
+    fold produces."""
     from webextract.functions.text import (
-        MAX_BULLET_LINE_RATIO, MAX_ELLIPSIS_LINE_RATIO, MAX_SYMBOL_RATIO,
-        MEAN_WORD_LEN_BAND, STOPWORDS, _BULLET_PREFIXES,
-        _ELLIPSIS_SUFFIXES,
+        LANG_MARKERS, LANG_STOPWORDS, LANG_THRESHOLD,
+        MAX_BULLET_LINE_RATIO, MAX_DUP_LINE_RATIO, MAX_ELLIPSIS_LINE_RATIO,
+        MAX_SYMBOL_RATIO, MAX_TOP2GRAM_CHAR_RATIO, MEAN_WORD_LEN_BAND,
+        STOPWORDS, _BULLET_PREFIXES, _ELLIPSIS_SUFFIXES,
     )
 
-    stop_hits = _sql_marker_hits(STOPWORDS)
+    codes = sorted(LANG_MARKERS)
+    ratio_cols = ", ".join(
+        f"CASE WHEN n_tokens > 0 THEN {_sql_marker_hits(LANG_MARKERS[c])}"
+        f" / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS r_{c}"
+        for c in codes)
+    best = "greatest(" + ", ".join(f"r_{c}" for c in codes) + ")"
+    guess = f"CASE WHEN {best} < {LANG_THRESHOLD} THEN 'und'"
+    for c in codes:
+        guess += f" WHEN r_{c} = {best} THEN '{c}'"
+    guess += " ELSE 'und' END"
+    # language-aware stopword base: the guessed language selects its own
+    # function-word set; en/und fall through to the English set
+    n_stop = "CASE guess_lang"
+    for c in sorted(LANG_STOPWORDS):
+        n_stop += f" WHEN '{c}' THEN {_sql_marker_hits(LANG_STOPWORDS[c])}"
+    n_stop += f" ELSE {_sql_marker_hits(STOPWORDS)} END"
     symbol_hits = " + ".join([
         _sql_occ("norm", "'#'", 1),
         _sql_occ("norm", "'...'", 3),
@@ -1148,14 +1241,31 @@ def _sql_quality_chain(src: str) -> str:
     qt AS (SELECT qn.*, string_split(norm, ' ') AS toks,
                   chr(10) || text || chr(10) AS nlp,
                   {_sql_occ("text", "chr(10)", 1)} + 1 AS n_lines,
+                  len(string_split(text, chr(10)))
+                    - len(list_distinct(string_split(text, chr(10))))
+                    AS n_dup_lines,
                   CASE WHEN length(norm) = 0 THEN 0
                        ELSE len(string_split(norm, ' ')) END AS n_tokens
            FROM qn),
-    qf AS (SELECT qt.*, ({stop_hits}) AS n_stop,
+    ql AS (SELECT qt.*, {ratio_cols} FROM qt),
+    qf AS (SELECT ql.*, {n_stop} AS n_stop,
                   ({symbol_hits}) AS n_symbols,
                   ({bullet_hits}) AS n_bullet,
                   ({ellipsis_hits}) AS n_ellipsis
+           FROM (SELECT ql.*, {guess} AS guess_lang FROM ql) ql),
+    qg AS (SELECT doc_id,
+                  unnest(CASE WHEN n_tokens >= 2
+                              THEN list_transform(range(1, n_tokens),
+                                     i -> array_to_string(toks[i:i+1], ' '))
+                              ELSE [] END) AS gram
            FROM qt),
+    qgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM qg GROUP BY 1, 2),
+    qtop AS (SELECT doc_id, c * length(gram) AS top_chars
+             FROM (SELECT doc_id, gram, c,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, gram ASC) AS rn
+                   FROM qgc)
+             WHERE rn = 1),
     qr AS (SELECT qf.*,
                   ROUND(CASE WHEN n_tokens > 0
                              THEN n_stop / CAST(n_tokens AS DOUBLE)
@@ -1170,8 +1280,17 @@ def _sql_quality_chain(src: str) -> str:
                   ROUND(n_bullet / CAST(n_lines AS DOUBLE), 6)
                     AS bullet_line_ratio,
                   ROUND(n_ellipsis / CAST(n_lines AS DOUBLE), 6)
-                    AS ellipsis_line_ratio
-           FROM qf),
+                    AS ellipsis_line_ratio,
+                  ROUND(n_dup_lines
+                        / CAST(len(string_split(text, chr(10))) AS DOUBLE),
+                        6) AS dup_line_frac,
+                  ROUND(CASE WHEN length(norm) > 0
+                              AND COALESCE(qtop.top_chars, 0) > 0
+                             THEN LEAST(qtop.top_chars
+                                        / CAST(length(norm) AS DOUBLE),
+                                        1.0)
+                             ELSE 0.0 END, 6) AS top2gram_char_frac
+           FROM qf LEFT JOIN qtop USING (doc_id)),
     q AS (SELECT qr.*,
                  ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0
                              WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END
@@ -1184,6 +1303,10 @@ def _sql_quality_chain(src: str) -> str:
                                    <= {MAX_BULLET_LINE_RATIO}
                                AND ellipsis_line_ratio
                                    <= {MAX_ELLIPSIS_LINE_RATIO}
+                              THEN 1.0 ELSE 0.0 END
+                       * CASE WHEN dup_line_frac <= {MAX_DUP_LINE_RATIO}
+                               AND top2gram_char_frac
+                                   <= {MAX_TOP2GRAM_CHAR_RATIO}
                               THEN 1.0 ELSE 0.0 END, 6)
                    AS quality_score,
                  md5(norm) AS fingerprint
@@ -1191,28 +1314,45 @@ def _sql_quality_chain(src: str) -> str:
     """
 
 
-def _lang_id_mixed_sql() -> str:
-    """Mirror of q_lang_id_mixed: same per-language marker tails (as SQL
-    literals), then the standard lang-ID chain over the mixed corpus."""
+def _mixed_src_sql() -> str:
+    """Mirror of _mixed_docs: per-language marker tails as SQL literals."""
     from webextract.functions.text import LANG_MARKERS
 
     cases = ""
     for code in sorted(LANG_MARKERS):
         words = " ".join(LANG_MARKERS[code] * 10)
         cases += f" WHEN lang = '{code}' THEN text || ' {words}'"
-    mixed = f"(SELECT lang, CASE{cases} ELSE text END AS text" \
-            " FROM documents)"
-    return _lang_id_sql(src=mixed)
+    return (f"(SELECT doc_id, lang, CASE{cases} ELSE text END AS text"
+            " FROM documents)")
+
+
+def _lang_id_mixed_sql() -> str:
+    """Mirror of q_lang_id_mixed: the standard lang-ID chain over the
+    mixed corpus."""
+    return _lang_id_sql(src=_mixed_src_sql())
 
 
 def _quality_sql() -> str:
     return f"""
         WITH {_sql_quality_chain("documents")}
-        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, guess_lang,
                CAST(n_stop AS BIGINT) AS n_stop, stop_ratio,
                mean_word_len, symbol_ratio, bullet_line_ratio,
-               ellipsis_line_ratio, quality_score, fingerprint
+               ellipsis_line_ratio, dup_line_frac, top2gram_char_frac,
+               quality_score, fingerprint
         FROM q
+    """
+
+
+def _quality_multilang_sql() -> str:
+    """Mirror of q_quality_scores_multilang: the quality chain over the
+    mixed corpus, aggregated per guessed language."""
+    return f"""
+        WITH {_sql_quality_chain(_mixed_src_sql())}
+        SELECT guess_lang, COUNT(*) AS n_docs,
+               ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio,
+               ROUND(AVG(quality_score), 6) AS avg_quality
+        FROM q GROUP BY guess_lang
     """
 
 

@@ -717,7 +717,11 @@ def test_ivf_ann_recall_and_exact_scores(spark):
                                key=lambda t: (-t[0], t[1]))[:3]}
             hits += r["neighbor_id"] in true_top
         recall = hits / 30
-        assert recall >= 0.3, (name, recall)  # 3/8 clusters searched
+        # pinned floors on the seeded corpus (measured: hash 0.833,
+        # kmeans 0.900 at 3/8 clusters searched) — a pyspark.ml version
+        # bump that silently degrades the sampled KMeans fit fails here
+        floor = {"hash": 0.8, "kmeans": 0.85}[name]
+        assert recall >= floor, (name, recall)
 
 
 def test_curate_corpus_stages(spark):
@@ -1084,3 +1088,75 @@ def test_media_transform_injected_decoder_seam(spark):
     assert out["error"] is None
     # NN-resize of the stub's 2x1 gray plane to 2x2
     assert out["digest"] == hashlib.md5(bytes([10, 250, 10, 250])).hexdigest()
+
+
+def test_repetition_gates_kill_spam_pages(spark):
+    # Gopher repetition gates (Rae et al. 2021 §A1.1): a copy-pasted-line
+    # page and a phrase-spam page gate to 0 while clean article text is
+    # untouched by the new gates
+    article = ("the quick brown fox jumps over the lazy dog and the "
+               "river flows to the sea while a bird sings in the tall "
+               "tree near the old stone bridge of the quiet town")
+    dup_lines = "\n".join(["click here to subscribe now and win"] * 10)
+    phrase_spam = " ".join(["the best cheap deals"] * 20)
+    out = {r["doc_id"]: r for r in with_text_features(
+        spark.createDataFrame([
+            Row(doc_id=1, text=article),
+            Row(doc_id=2, text=dup_lines),
+            Row(doc_id=3, text=phrase_spam),
+        ])).collect()}
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["top2gram_char_frac"] < 0.2
+    assert out[1]["quality_score"] >= 0.9
+    assert out[2]["dup_line_frac"] == 0.9
+    assert out[2]["quality_score"] == 0.0
+    assert out[3]["top2gram_char_frac"] > 0.2
+    assert out[3]["quality_score"] == 0.0
+
+
+def test_language_aware_stopword_base(spark):
+    # a French article must score like an English article: its stop_ratio
+    # counts FRENCH function words once guess_lang = fr (under an
+    # English-only base the stop score would be ~0 and the quality ~0.5)
+    fr_article = ("le chien et le chat ne sont pas dans la maison et une "
+                  "femme est dans les jardins pres de la riviere et le "
+                  "vent souffle sur les arbres de la ville")
+    fr_boiler = "\n".join(["cliquez ici pour acheter maintenant"] * 8)
+    out = {r["doc_id"]: r for r in with_text_features(
+        spark.createDataFrame([
+            Row(doc_id=1, text=fr_article),
+            Row(doc_id=2, text=fr_boiler),
+        ])).collect()}
+    assert out[1]["guess_lang"] == "fr"
+    assert out[1]["stop_ratio"] >= 0.25
+    assert out[1]["quality_score"] >= 0.9
+    assert out[2]["quality_score"] == 0.0
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+
+
+def test_paragraph_dedup_drops_boilerplate_keeps_order(spark):
+    from webextract.functions.dedup import paragraph_dedup
+
+    footer = "all rights reserved"
+    rows = [
+        Row(doc_id=1, text=f"alpha body one\n{footer}\nunique tail one"),
+        Row(doc_id=2, text=f"beta body two\n{footer}"),
+        Row(doc_id=3, text=f"gamma body three\n\n  {footer}  \nend"),
+        Row(doc_id=4, text="untouched document"),
+        Row(doc_id=5, text="\n\n"),  # no non-empty paragraphs -> absent
+    ]
+    out = {r["id"]: r for r in paragraph_dedup(
+        spark.createDataFrame(rows), max_occurrences=2).collect()}
+    # footer occurs 3x (> 2) -> dropped everywhere, whitespace-normalized
+    assert out[1]["kept_text"] == "alpha body one\nunique tail one"
+    assert (out[1]["n_paras"], out[1]["n_dropped"]) == (3, 1)
+    assert out[2]["kept_text"] == "beta body two"
+    assert out[3]["kept_text"] == "gamma body three\nend"
+    assert out[3]["n_paras"] == 3  # empty line is not a paragraph
+    assert out[4]["kept_text"] == "untouched document"
+    assert out[4]["n_dropped"] == 0
+    assert 5 not in out
+    # max_occurrences=3 keeps the footer (count == 3 is allowed)
+    kept = {r["id"]: r["kept_text"] for r in paragraph_dedup(
+        spark.createDataFrame(rows), max_occurrences=3).collect()}
+    assert kept[2] == f"beta body two\n{footer}"

@@ -220,3 +220,38 @@ def test_spool_streaming_ingest_batch_parity(spark, tmp_path):
              for r in extract_dataframe(
                  pages, opts=PipelineOptions(num_partitions=2)).collect()}
     assert batch == served
+
+
+def test_keep_alive_connection_reuse(server):
+    # HTTP/1.1: two extract requests over ONE connection; then a 413
+    # (body never read) must close the socket so unread bytes cannot
+    # desync a follow-up request
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        for i in range(2):
+            conn.request("POST", "/extract",
+                         body=b"<p>keep alive body</p>",
+                         headers={"X-Url": f"u://ka/{i}"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            got = json.loads(resp.read())
+            assert got["extracted_text"] == "keep alive body"
+            assert resp.will_close is False  # same socket serves both
+        sock_before = conn.sock
+        assert sock_before is not None
+
+        # declare an oversized body without sending it: the server must
+        # answer 413 from the header alone and close the connection
+        # (it never reads the body, so keep-alive would desync)
+        conn.putrequest("POST", "/extract")
+        conn.putheader("X-Url", "u://ka/huge")
+        conn.putheader("Content-Length", str(server.max_body_bytes + 1))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        resp.read()
+        assert resp.will_close is True  # unread body -> server closes
+    finally:
+        conn.close()

@@ -338,6 +338,60 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
                          F.col("label").alias("group_id"))
 
 
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    max_occurrences: int = 1) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup across the corpus
+    (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data"): drop every normalized paragraph that
+    occurs more than ``max_occurrences`` times corpus-wide — the cheap,
+    high-yield boilerplate killer (nav bars, cookie banners, footers
+    repeat across a site's every page while article bodies don't).
+
+    Returns (id, kept_text, n_paras, n_dropped): ``kept_text`` is the
+    surviving paragraphs rejoined with ``\\n`` in original order (empty
+    string when everything was boilerplate); docs with no non-empty
+    paragraphs are absent.
+
+    Plan at 10^12 docs: paragraphs explode to rows once, keyed by a
+    60-bit content hash (:func:`hash60` — the exchange moves longs, not
+    paragraph strings). Three keyed exchanges, all well-behaved: (1) the
+    occurrence count is a hash aggregation with map-side combine, so a
+    footer repeated 10^9 times arrives at its reducer as per-partition
+    partial counts, not 10^9 rows; (2) the count join back is on the
+    same hash key (hot keys carry distinct (doc, pos) rows — AQE skew
+    handling splits them); (3) the reassembly groups by doc id, whose
+    cardinality and fan-in (paragraphs per doc) are bounded. Nothing
+    driver-side, no all-pairs anywhere.
+    """
+    norm_para = norm_text(F.col("_para"))
+    paras = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.split(F.col(text_col), "\n"))
+                    .alias("pos", "_para"))
+        .select("id", "pos", norm_para.alias("pnorm"))
+        .filter(F.length("pnorm") > 0)
+        .withColumn("h", hash60(F.col("pnorm")))
+    )
+    counts = paras.groupBy("h").agg(F.count("*").alias("n_occ"))
+    flagged = paras.join(counts, "h").withColumn(
+        "keep", F.col("n_occ") <= max_occurrences)
+    kept_struct = F.when(F.col("keep"),
+                         F.struct(F.col("pos"), F.col("pnorm")))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["pnorm"]),
+                "\n").alias("kept_text"),
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+        )
+    )
+
+
 def candidate_shingle_sets(docs: DataFrame, cands: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:

@@ -195,31 +195,52 @@ def with_winnow_fingerprint(docs: DataFrame, text_col: str = "text",
 # Gopher-style quality bands (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", §A1.1): mean word
 # length in [3, 10]; symbol-to-word ratio ≤ 0.1 (# and …); ≤ 90% of
-# lines starting with a bullet; ≤ 30% of lines ending with an ellipsis.
+# lines starting with a bullet; ≤ 30% of lines ending with an ellipsis;
+# ≤ 30% duplicate lines; ≤ 20% of characters in the top word 2-gram
+# (the repetition gates — the strongest cheap boilerplate/spam
+# predictors in LLM curation).
 MEAN_WORD_LEN_BAND = (3.0, 10.0)
 MAX_SYMBOL_RATIO = 0.1
 MAX_BULLET_LINE_RATIO = 0.9
 MAX_ELLIPSIS_LINE_RATIO = 0.3
+MAX_DUP_LINE_RATIO = 0.3
+MAX_TOP2GRAM_CHAR_RATIO = 0.2
 _BULLET_PREFIXES = ("\n- ", "\n* ", "\n• ")
 _ELLIPSIS_SUFFIXES = ("...\n", "…\n")
 
+# Per-language stopword bases for the quality score: the guessed
+# language selects its own function-word set (reusing LANG_MARKERS) so
+# a French or German article is not scored against English stopwords;
+# 'en' and 'und' keep the broader English set.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    code: LANG_MARKERS[code] for code in LANG_MARKERS if code != "en"
+}
+
 
 def with_text_features(docs: DataFrame) -> DataFrame:
-    """documents → + (norm, n_tokens, n_stop, stop_ratio, guess_lang,
+    """documents → + (norm, n_tokens, guess_lang, n_stop, stop_ratio,
     mean_word_len, symbol_ratio, bullet_line_ratio, ellipsis_line_ratio,
-    quality_score, fingerprint).
+    dup_line_frac, top2gram_char_frac, quality_score, fingerprint).
 
     quality_score is a deterministic [0,1] heuristic: the graded base
     (token-length band + stopword presence, averaged) MULTIPLIED by the
-    three Gopher-style penalty gates (mean-word-length band,
-    symbol-to-word ratio, bullet/ellipsis line ratios — the banded
-    constants above). Gates multiply rather than average because in
-    Gopher they are hard drops: a bullet-list page scores 0 regardless
-    of its length, and a clean page's score is unchanged by them.
+    Gopher-style penalty gates (mean-word-length band, symbol-to-word
+    ratio, bullet/ellipsis line ratios, duplicate-line fraction and
+    top-2-gram character fraction — the banded constants above). Gates
+    multiply rather than average because in Gopher they are hard drops:
+    a bullet-list or copy-pasted-line page scores 0 regardless of its
+    length, and a clean page's score is unchanged by them.
+
+    The stopword base is language-aware: ``guess_lang`` selects that
+    language's function-word set (:data:`LANG_STOPWORDS`) so a French
+    article's ``stop_ratio`` measures FRENCH function words — under an
+    English-only base every non-English page scored as if it had no
+    function words at all.
+
     The web-text analog of the reference's mean-confidence provenance
     (A6, ``tooling/average_confidence.py``). fingerprint is the content
     hash used for exact dedup (md5 of the normalized text). All pure
-    codegen expressions with an exact DuckDB mirror — line ratios count
+    codegen expressions with an exact DuckDB mirror — line signals count
     over the RAW text (normalization collapses newlines).
     """
     codes = sorted(LANG_MARKERS)
@@ -233,8 +254,7 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     normc, toks, raw = F.col("norm"), F.col("_toks"), F.col("text")
     n_tokens = F.when(F.length(normc) == 0, F.lit(0)) \
         .otherwise(F.size(toks)).cast("long")
-    step2 = step1.withColumn("n_tokens", n_tokens) \
-        .withColumn("n_stop", stopword_hits(toks))
+    step2 = step1.withColumn("n_tokens", n_tokens)
     nt = F.col("n_tokens")
     # per-language marker ratios land in their own columns so each
     # single-pass token filter runs ONCE even though the argmax CASE
@@ -249,6 +269,19 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     for c in codes:
         guess = guess.when(F.col(f"_r_{c}") == best, F.lit(c))
     guess = guess.otherwise(F.lit("und"))
+    step2 = step2.withColumn("guess_lang", guess)
+
+    # language-aware stopword base (one lazily-evaluated CASE arm per
+    # language: only the guessed language's token filter runs per row)
+    n_stop: Column | None = None
+    for code in sorted(LANG_STOPWORDS):
+        cond = F.col("guess_lang") == code
+        hits = marker_hits(toks, LANG_STOPWORDS[code])
+        n_stop = (F.when(cond, hits) if n_stop is None
+                  else n_stop.when(cond, hits))
+    assert n_stop is not None
+    step2 = step2.withColumn("n_stop",
+                             n_stop.otherwise(stopword_hits(toks)))
 
     stop_ratio = F.round(
         F.when(nt > 0, F.col("n_stop") / nt).otherwise(F.lit(0.0)), 6)
@@ -271,13 +304,59 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     bullet_ratio = F.round(n_bullet / n_lines, 6)
     ellipsis_ratio = F.round(n_ellipsis / n_lines, 6)
 
+    # duplicate-line fraction over the raw text: 1 - distinct/total —
+    # a copy-pasted-boilerplate signal, pure array expressions
+    lines = F.split(raw, "\n")
+    dup_line_frac = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / F.size(lines), 6)
+
+    # top-2-gram character fraction: the sorted word-2-gram array makes
+    # the per-gram counts contiguous runs, so ONE aggregate fold finds
+    # (max run, its gram's length) — no explode, no shuffle; the
+    # lexicographically smallest gram wins count ties (strict > update),
+    # matching the oracle's ORDER BY count DESC, gram ASC
+    grams2 = F.when(nt >= 2, F.array_sort(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    ))).otherwise(F.array().cast("array<string>"))
+    step2g = step2.withColumn("_grams2", grams2)
+    zero = F.lit(0).cast("long")
+    top = F.aggregate(
+        F.col("_grams2"),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("best"), zero.alias("bestlen")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .cast("long").alias("run"),
+            F.when(
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+            .otherwise(acc["best"]).cast("long").alias("best"),
+            F.when(
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best"], F.length(g).cast("long"))
+            .otherwise(acc["bestlen"]).alias("bestlen"),
+        ),
+    )
+    top2_frac = F.round(
+        F.when((F.length(normc) > 0) & (F.col("_top2")["best"] > 0),
+               F.least(
+                   F.col("_top2")["best"] * F.col("_top2")["bestlen"]
+                   / F.length(normc), F.lit(1.0)))
+        .otherwise(F.lit(0.0)), 6)
+
     step3 = (
-        step2.withColumn("stop_ratio", stop_ratio)
-        .withColumn("guess_lang", guess)
+        step2g.withColumn("_top2", top)
+        .withColumn("stop_ratio", stop_ratio)
         .withColumn("mean_word_len", mean_word_len)
         .withColumn("symbol_ratio", symbol_ratio)
         .withColumn("bullet_line_ratio", bullet_ratio)
         .withColumn("ellipsis_line_ratio", ellipsis_ratio)
+        .withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("top2gram_char_frac", top2_frac)
     )
     len_score = F.when((nt >= 20) & (nt <= 1000), F.lit(1.0)) \
         .when(nt >= 5, F.lit(0.5)).otherwise(F.lit(0.0))
@@ -293,11 +372,15 @@ def with_text_features(docs: DataFrame) -> DataFrame:
         (F.col("bullet_line_ratio") <= MAX_BULLET_LINE_RATIO)
         & (F.col("ellipsis_line_ratio") <= MAX_ELLIPSIS_LINE_RATIO),
         F.lit(1.0)).otherwise(F.lit(0.0))
+    repeat_score = F.when(
+        (F.col("dup_line_frac") <= MAX_DUP_LINE_RATIO)
+        & (F.col("top2gram_char_frac") <= MAX_TOP2GRAM_CHAR_RATIO),
+        F.lit(1.0)).otherwise(F.lit(0.0))
     quality = F.round(
         (len_score + stop_score) / 2
-        * word_len_score * symbol_score * line_score, 6)
+        * word_len_score * symbol_score * line_score * repeat_score, 6)
     return (
         step3.withColumn("quality_score", quality)
         .withColumn("fingerprint", F.md5(F.encode(normc, "UTF-8")))
-        .drop("_toks", *[f"_r_{c}" for c in codes])
+        .drop("_toks", "_grams2", "_top2", *[f"_r_{c}" for c in codes])
     )

@@ -331,50 +331,183 @@ _RAWTEXT_TAGS = frozenset({"script", "style"})
 
 
 def tokenize_blocks(html_text: str) -> list[Block]:
-    b = _BlockBuilder()
+    """Hot-path tokenizer: the :class:`_BlockBuilder` state machine is
+    INLINED as local variables — per-event method calls and ``self``
+    attribute loads were ~40% of tokenizer time on tag-dense pages
+    (profiled r5), and giant crawl pages are hundreds of thousands of
+    events. Semantics are pinned to the stdlib-driven builder by the
+    fixture-sweep + hypothesis equivalence tests
+    (``tests/test_tokenizer_equiv.py``)."""
+    blocks: list[Block] = []
+    # current-block state (cur_pieces is None <=> no open text block)
+    cur_pieces: list[str] | None = None
+    cur_tag = "body"
+    cur_marginal = False
+    cur_link_nws = 0
+    block_stack: list[str] = []
+    skip_stack: list[str] = []
+    anchor_depth = 0
+    marginal_depth = 0
+
     pos, n = 0, len(html_text)
     lower: str | None = None  # lazily lowered copy for rawtext close scan
     find = html_text.find
-    # bound methods hoisted out of the ~1-call-per-tag loop (hot path:
-    # giant pages are hundreds of thousands of tag events)
-    data, start_tag, end_tag = b.data, b.start_tag, b.end_tag
     tag_match = _TAG_RE.match
+    skip_tags = SKIP_CONTENT_TAGS
+    block_tags = BLOCK_TAGS
+    nonvoid_block_tags = _BLOCK_NONVOID_TAGS
+    marginal_tags = MARGINAL_ANCESTOR_TAGS
+    void_tags = VOID_TAGS
+
     while pos < n:
         lt = find("<", pos)
-        if lt == -1:
-            data(_unescape(html_text[pos:]))
-            break
-        if lt > pos:
-            data(_unescape(html_text[pos:lt]))
+        # ---- data segment [pos, lt) ----
+        if lt != pos:
+            seg = html_text[pos:] if lt == -1 else html_text[pos:lt]
+            if not skip_stack:
+                if "&" in seg:
+                    seg = _html_unescape(seg)
+                if cur_pieces is None:
+                    cur_pieces = [seg]
+                    cur_tag = block_stack[-1] if block_stack else "body"
+                    cur_marginal = marginal_depth > 0
+                    cur_link_nws = 0
+                else:
+                    cur_pieces.append(seg)
+                if anchor_depth:
+                    cur_link_nws += sum(map(len, seg.split()))
+            if lt == -1:
+                break
         m = tag_match(html_text, lt)
         if m is None:
-            data("<")  # bare '<' is text, as in html.parser
+            # bare '<' is text, as in html.parser
+            if not skip_stack:
+                if cur_pieces is None:
+                    cur_pieces = ["<"]
+                    cur_tag = block_stack[-1] if block_stack else "body"
+                    cur_marginal = marginal_depth > 0
+                    cur_link_nws = 0
+                else:
+                    cur_pieces.append("<")
+                if anchor_depth:
+                    cur_link_nws += 1
             pos = lt + 1
             continue
         pos = m.end()
         # lastindex dispatch: end tags match only group 3, start tags
         # match groups 1-2 (2 may be empty but still participates),
-        # comments/doctypes/PIs match no group — avoids materializing a
-        # 3-tuple of groups per tag event
+        # comments/doctypes/PIs match no group
         li = m.lastindex
         if li == 3:
-            end_tag(m.group(3).lower())
+            # ---- end tag ----
+            tag = m.group(3).lower()
+            if tag in skip_tags:
+                if skip_stack and skip_stack[-1] == tag:
+                    skip_stack.pop()
+                elif tag in skip_stack:
+                    while skip_stack and skip_stack.pop() != tag:
+                        pass
+                if cur_pieces is not None:
+                    text = _normalize_ws("".join(cur_pieces))
+                    if text:
+                        blocks.append(Block(
+                            cur_tag, cur_marginal, cur_pieces,
+                            len(text) - text.count(" "), cur_link_nws,
+                            text))
+                    cur_pieces = None
+            elif not skip_stack and tag == "a":
+                if anchor_depth:
+                    anchor_depth -= 1
+            elif not skip_stack and tag in nonvoid_block_tags:
+                if cur_pieces is not None:
+                    text = _normalize_ws("".join(cur_pieces))
+                    if text:
+                        blocks.append(Block(
+                            cur_tag, cur_marginal, cur_pieces,
+                            len(text) - text.count(" "), cur_link_nws,
+                            text))
+                    cur_pieces = None
+                # fast path: properly nested markup closes top of stack
+                if block_stack and block_stack[-1] == tag:
+                    block_stack.pop()
+                    if tag in marginal_tags:
+                        marginal_depth = max(0, marginal_depth - 1)
+                elif tag in block_stack:
+                    while block_stack:
+                        popped = block_stack.pop()
+                        if popped in marginal_tags:
+                            marginal_depth = max(0, marginal_depth - 1)
+                        if popped == tag:
+                            break
         elif li is not None:
+            # ---- start tag ----
             tag = m.group(1).lower()
-            start_tag(tag)
+            if tag in skip_tags:
+                if cur_pieces is not None:
+                    text = _normalize_ws("".join(cur_pieces))
+                    if text:
+                        blocks.append(Block(
+                            cur_tag, cur_marginal, cur_pieces,
+                            len(text) - text.count(" "), cur_link_nws,
+                            text))
+                    cur_pieces = None
+                skip_stack.append(tag)
+            elif not skip_stack:
+                if tag == "a":
+                    anchor_depth += 1
+                elif tag in block_tags:
+                    if cur_pieces is not None:
+                        text = _normalize_ws("".join(cur_pieces))
+                        if text:
+                            blocks.append(Block(
+                                cur_tag, cur_marginal, cur_pieces,
+                                len(text) - text.count(" "), cur_link_nws,
+                                text))
+                        cur_pieces = None
+                    if tag in marginal_tags:
+                        marginal_depth += 1
+                    if tag not in void_tags:
+                        block_stack.append(tag)
             attrs = m.group(2)
             if attrs and attrs.rstrip().endswith("/"):
-                end_tag(tag)  # self-closing
+                # self-closing: replay the end-tag transition
+                if tag in skip_tags:
+                    if skip_stack and skip_stack[-1] == tag:
+                        skip_stack.pop()
+                    elif tag in skip_stack:
+                        while skip_stack and skip_stack.pop() != tag:
+                            pass
+                elif not skip_stack and tag in nonvoid_block_tags:
+                    if block_stack and block_stack[-1] == tag:
+                        block_stack.pop()
+                        if tag in marginal_tags:
+                            marginal_depth = max(0, marginal_depth - 1)
+                    elif tag in block_stack:
+                        while block_stack:
+                            popped = block_stack.pop()
+                            if popped in marginal_tags:
+                                marginal_depth = max(0, marginal_depth - 1)
+                            if popped == tag:
+                                break
+                elif not skip_stack and tag == "a" and anchor_depth:
+                    anchor_depth -= 1
             elif tag in _RAWTEXT_TAGS:
                 if lower is None:
                     lower = html_text.lower()
                 close = lower.find(f"</{tag}", pos)
                 if close == -1:
-                    end_tag(tag)
-                    break  # unterminated rawtext swallows the rest
+                    # unterminated rawtext swallows the rest; the skip
+                    # tag stays open so nothing below emits
+                    break
                 pos = close  # skip raw content; end tag parsed next loop
-    b.flush()
-    return b.blocks
+
+    if cur_pieces is not None:
+        text = _normalize_ws("".join(cur_pieces))
+        if text:
+            blocks.append(Block(cur_tag, cur_marginal, cur_pieces,
+                                len(text) - text.count(" "),
+                                cur_link_nws, text))
+    return blocks
 
 
 from html import unescape as _html_unescape  # noqa: E402 (hot-path import)
@@ -431,18 +564,20 @@ def span_id_for(url: str, region_class: str, char_start: int) -> str:
 
 def _span_id_factory(url: str):
     """Per-document id maker producing the same digests as
-    :func:`span_id_for` but hashing the ``url|class|`` prefix only once
-    per class (hasher ``copy()`` per offset)."""
-    cache: dict[str, "hashlib._Hash"] = {}
+    :func:`span_id_for` with the ``url|class|`` prefix ENCODED once per
+    class: one one-shot C sha256 call per id beats the
+    copy()+update()+hexdigest() triple for the short keys spans have
+    (measured ~6% of end-to-end extraction, r5)."""
+    cache: dict[str, bytes] = {}
+    sha = hashlib.sha256
+    url_prefix = url + "|"
 
     def make(region_class: str, char_start: int) -> str:
-        h = cache.get(region_class)
-        if h is None:
-            h = hashlib.sha256(f"{url}|{region_class}|".encode("utf-8"))
-            cache[region_class] = h
-        hh = h.copy()
-        hh.update(str(char_start).encode("utf-8"))
-        return hh.hexdigest()
+        p = cache.get(region_class)
+        if p is None:
+            p = (url_prefix + region_class + "|").encode("utf-8")
+            cache[region_class] = p
+        return sha(p + str(char_start).encode()).hexdigest()
 
     return make
 

@@ -231,14 +231,27 @@ class ExtractServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1: connections persist across requests (every
+            # response carries Content-Length), so a bench client or
+            # sidecar reuses one connection instead of paying a TCP
+            # handshake per document
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet test output
                 pass
 
             def _send(self, code: int, body: bytes,
-                      ctype: str = "application/json") -> None:
+                      ctype: str = "application/json",
+                      close: bool = False) -> None:
+                # close=True for responses sent BEFORE the request body
+                # was read (411/413/429 shed paths): the unread bytes
+                # would desync the next request on a kept-alive socket
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                if close:
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -270,19 +283,23 @@ class ExtractServer:
                         cfg = server.swap_config(name)
                     except KeyError:
                         self._send(404, json.dumps(
-                            {"error": f"unknown config {name!r}"}).encode())
+                            {"error": f"unknown config {name!r}"}).encode(),
+                            close=True)
                         return
+                    # close: a swap request may carry an unread body
                     self._send(200, json.dumps({
                         "active": name,
-                        "config_hash": cfg.config_hash()}).encode())
+                        "config_hash": cfg.config_hash()}).encode(),
+                        close=True)
                     return
                 if parsed.path != "/extract":
-                    self._send(404, b'{"error": "not found"}')
+                    self._send(404, b'{"error": "not found"}', close=True)
                     return
                 url = self.headers.get("X-Url") or parse_qs(
                     parsed.query).get("url", [""])[0]
                 if not url:
-                    self._send(400, b'{"error": "missing url"}')
+                    self._send(400, b'{"error": "missing url"}',
+                               close=True)
                     return
                 # size gate + admission BEFORE reading the body: with one
                 # thread per connection, max_pending must bound MEMORY as
@@ -290,19 +307,22 @@ class ExtractServer:
                 # never buffer its payload
                 n = int(self.headers.get("Content-Length") or 0)
                 if n <= 0 and self.headers.get("Transfer-Encoding"):
-                    self._send(411, b'{"error": "length required"}')
+                    self._send(411, b'{"error": "length required"}',
+                               close=True)
                     return
                 if n > server.max_body_bytes:
                     with server.metrics._lock:
                         server.metrics.rejected_total += 1
-                    self._send(413, b'{"error": "payload too large"}')
+                    self._send(413, b'{"error": "payload too large"}',
+                               close=True)
                     return
                 # bounded admission: shed load instead of queueing
                 # unboundedly (reference LAYPA_MAX_QUEUE_SIZE -> 429)
                 if not server._admission.acquire(blocking=False):
                     with server.metrics._lock:
                         server.metrics.rejected_total += 1
-                    self._send(429, b'{"error": "queue full"}')
+                    self._send(429, b'{"error": "queue full"}',
+                               close=True)
                     return
                 with server.metrics._lock:
                     server.metrics.inflight += 1
