@@ -71,7 +71,18 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     ``cache_scope()`` and release after the consuming action.
     """
     sc = resolve(scope)
-    feats = with_text_features(docs)
+    feats = with_text_features(docs).select(
+        id_col, text_col, "n_tokens", "quality_score", "fingerprint")
+    if persist_survivors:
+        # materialize the feature stage BEFORE the quality filter: a
+        # deterministic filter is otherwise pushed below the feature
+        # projections, substituting the full quality expression —
+        # including the top-2-gram sort + aggregate fold, which the
+        # filter condition then re-evaluates per reference — into the
+        # scan (measured 8× the feature cost at sf0.1). At 10^12 docs
+        # features are a stored per-snapshot stage table exactly like
+        # signatures/candidates; this persist is its local stand-in.
+        feats = sc.persist(feats)
     passing = feats.filter(F.col("quality_score") >= min_quality)
     # exact dedup keep-first: the min id per fingerprint survives
     keep = passing.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
