@@ -353,6 +353,120 @@ def q_dup_url_check(spark, sf_dir):
     )
 
 
+def _pii_docs(spark, sf_dir):
+    """Deterministic PII-bearing corpus: documents.text is PII-free word
+    salad, so plant id-derived emails / phones (both separated and
+    compact forms) / IPs on modular subsets — exactly mirrored in SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@mail-example.com for info"))).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.concat(
+                F.lit(" call +31 20 555"), (did % 1000).cast("string"),
+                F.lit(" today"))).otherwise(F.lit("")),
+            F.when(did % 6 == 0, F.concat(
+                F.lit(" or +3120555"), (did % 1000).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0.1"))).otherwise(F.lit("")),
+        ))
+
+
+def q_pii_mask(spark, sf_dir):
+    # Dolma/RefinedWeb-style PII scrub: masked text + per-category audit
+    # counts, one map-only projection (see functions/hygiene.py)
+    from webextract.functions.hygiene import with_pii_masked
+
+    return with_pii_masked(_pii_docs(spark, sf_dir)).select(
+        "doc_id", "masked_text", "n_emails", "n_phones", "n_ips",
+        "has_pii")
+
+
+def q_decontaminate(spark, sf_dir):
+    # benchmark decontamination: the "benchmark" is the 12-token prefix
+    # of every 13th doc, so those docs (and any doc sharing the same
+    # 8-gram — the corpus has repeated sentences) flag as contaminated
+    from webextract.functions.hygiene import decontaminate
+    from webextract.functions.text import norm_text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.array_join(F.slice(F.split(norm_text("text"), " "), 1, 12), " ")
+        .alias("text"))
+    out = decontaminate(docs, bench, n=8)
+    return out.select(F.col("id").alias("doc_id"), "n_overlap",
+                      "contaminated")
+
+
+_DOMAINS = ("news.example.com", "blog.test.org", "spam.seofarm.net",
+            "shop.example.com", "wiki.test.org")
+
+
+def _url_docs(spark, sf_dir):
+    """documents + a deterministic url over five synthetic hosts."""
+    host = F.element_at(F.array(*[F.lit(d) for d in _DOMAINS]),
+                        (F.col("doc_id") % 5 + 1).cast("int"))
+    return _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("https://"), host, F.lit("/p/"),
+                        F.col("doc_id").cast("string")))
+
+
+def q_domain_stats(spark, sf_dir):
+    # per-domain accounting AFTER blocklist filtering: the spam host is
+    # anti-joined away, the four surviving hosts aggregate (domain
+    # extraction = one regexp_extract; blocklist side broadcast by AQE)
+    from webextract.functions.hygiene import domain_stats, filter_blocklist
+
+    docs = _url_docs(spark, sf_dir)
+    blocked = spark.sql("SELECT 'spam.seofarm.net' AS domain")
+    return domain_stats(filter_blocklist(docs, blocked))
+
+
+def q_canonical_urls(spark, sf_dir):
+    # URL canonicalization over six deterministic variants: tracking
+    # params stripped (leading, interior, trailing), scheme+host
+    # case-folded, fragments dropped, trailing slash removed, non-URLs
+    # passed through — variants 0/2/3 collapse onto their clean twins
+    from webextract.functions.hygiene import canonicalize_url
+
+    sid = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 6).cast("int")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://News.Example.com/Post/"), sid,
+            F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(m == 1, F.concat(
+            F.lit("https://news.example.com/Post/"), sid,
+            F.lit("?a=1&utm_medium=m&b=2")))
+        .when(m == 2, F.concat(
+            F.lit("HTTP://Blog.Test.org/p/"), sid, F.lit("/#section-2")))
+        .when(m == 3, F.concat(
+            F.lit("https://blog.test.org/p/"), sid, F.lit("/")))
+        .when(m == 4, F.concat(
+            F.lit("https://shop.example.com/item?id="), sid,
+            F.lit("&fbclid=abc123")))
+        .otherwise(F.concat(F.lit("not a url "), sid)))
+    return _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"),
+        canonicalize_url(url).alias("canonical_url"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    # deterministic mixture sampling: keep 50% of en, 25% of de, 10% of
+    # everything else — salted-hash cutoffs, no rand(), rerun-identical
+    from webextract.functions.hygiene import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return stratified_sample(docs, {"en": 0.5, "de": 0.25},
+                             strata_col="lang", default_rate=0.1)
+
+
 def _events_pairs(spark, sf_dir):
     """(pred, gt) over a shared {high, low} label space: gt buckets the
     true value; pred buckets a deterministically perturbed value — a
@@ -450,6 +564,17 @@ def q_media_frame_sample(spark, sf_dir):
                            frame_every=7)
 
 
+def q_media_pcm_sample(spark, sf_dir):
+    # audio analog of frame_sample: keep every 4th PCM frame (fake
+    # backend = SQL oracle; real backend strides actual RIFF/WAVE PCM,
+    # pytest-pinned)
+    ship_package(spark)
+    from webextract.functions.multimodal import media_transform
+
+    return media_transform(_media_table(spark, sf_dir), op="pcm_sample",
+                           sample_every=4)
+
+
 # the testdata embeddings table contract: fixed 64-dim float vectors.
 # LSH hyperplanes / IVF centroid math are plan-time literals, so the dim
 # comes from the table contract instead of a driver-side probe action.
@@ -522,6 +647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_source": q_token_counts_by_source,
         "top_longest_docs": q_top_longest_docs,
         "dup_url_check": q_dup_url_check,
+        "pii_mask": q_pii_mask,
+        "decontaminate": q_decontaminate,
+        "domain_stats": q_domain_stats,
+        "canonical_urls": q_canonical_urls,
+        "stratified_sample": q_stratified_sample,
         "events_confusion": q_events_confusion,
         "events_iou": q_events_iou,
         "events_windowed": q_events_windowed,
@@ -531,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
+        "media_pcm_sample": q_media_pcm_sample,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "extract_fixture_pages": q_extract_fixture_pages,
@@ -669,6 +800,151 @@ def _sql_iou() -> str:
     SELECT ROUND(AVG(iou), 6) AS miou, ROUND(AVG(acc), 6) AS macc,
            ROUND(SUM(tp) / (SUM(tp) + SUM(fn)), 6) AS pacc
     FROM per
+    """
+
+
+_PII_TEXT_SQL = """text
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail-example.com for info' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN ' call +31 20 555'
+            || CAST(doc_id % 1000 AS VARCHAR) || ' today' ELSE '' END
+  || CASE WHEN doc_id % 6 = 0 THEN ' or +3120555'
+            || CAST(doc_id % 1000 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END"""
+
+
+def _pii_sql() -> str:
+    """Mirror of q_pii_mask: same planted-PII corpus, same sequential
+    regexp_replace chain (DuckDB needs the explicit 'g' flag — Spark's
+    regexp_replace is global by default), counts via regexp_extract_all
+    over the ORIGINAL text. Patterns come from hygiene.PII_PATTERNS so
+    the two engines can never drift."""
+    from webextract.functions.hygiene import PII_PATTERNS
+
+    masked = "text"
+    for _, pattern, repl in PII_PATTERNS:
+        masked = f"regexp_replace({masked}, '{pattern}', '{repl}', 'g')"
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}s"
+        for n, p, _ in PII_PATTERNS)
+    total = " + ".join(f"len(regexp_extract_all(text, '{p}'))"
+                       for _, p, _ in PII_PATTERNS)
+    return f"""
+        WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+        SELECT doc_id,
+               {masked} AS masked_text,
+               {counts},
+               ({total}) > 0 AS has_pii
+        FROM p
+    """
+
+
+# word 8-gram list from a toks column (mirror of hygiene._gram_hashes
+# pre-hash: DuckDB range() is end-exclusive, list slices are 1-based
+# inclusive — i in [1, len-7], gram = toks[i:i+7] = 8 tokens)
+_GRAMS8_SQL = """CASE WHEN len(toks) >= 8
+           THEN list_transform(range(1, len(toks) - 6),
+                               i -> array_to_string(toks[i:i+7], ' '))
+           ELSE [] END"""
+
+
+def _decontaminate_sql() -> str:
+    h = _H60.format(x="g")
+    return f"""
+        WITH nd AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        dt AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+        bt AS (SELECT array_to_string(toks[1:12], ' ') AS btext
+               FROM dt WHERE doc_id % 13 = 0),
+        btk AS (SELECT string_split(btext, ' ') AS toks FROM bt),
+        bg AS (SELECT DISTINCT {h} AS gh
+               FROM (SELECT unnest({_GRAMS8_SQL}) AS g FROM btk) u),
+        -- doc side dedups the gram STRING per doc before hashing
+        -- (mirror of explode(array_distinct(...)))
+        dg AS (SELECT doc_id, {h} AS gh
+               FROM (SELECT DISTINCT doc_id, g FROM
+                       (SELECT doc_id, unnest({_GRAMS8_SQL}) AS g
+                        FROM dt) u) v),
+        ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+               FROM dg JOIN bg USING (gh) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+               COALESCE(o.n_overlap, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+    """
+
+
+_URL_DOCS_SQL = """SELECT doc_id, text,
+       'https://' || CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'news.example.com' WHEN 1 THEN 'blog.test.org'
+          WHEN 2 THEN 'spam.seofarm.net' WHEN 3 THEN 'shop.example.com'
+          ELSE 'wiki.test.org' END
+       || '/p/' || CAST(doc_id AS VARCHAR) AS url
+       FROM documents"""
+
+
+def _domain_stats_sql() -> str:
+    host = r"'^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)'"
+    return f"""
+        WITH d AS ({_URL_DOCS_SQL}),
+        h AS (SELECT lower(regexp_extract(url, {host}, 1)) AS domain, text
+              FROM d)
+        SELECT domain, COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        FROM h WHERE domain <> 'spam.seofarm.net' GROUP BY domain
+    """
+
+
+_VARIANT_URL_SQL = """CASE CAST(doc_id % 6 AS INTEGER)
+     WHEN 0 THEN 'https://News.Example.com/Post/' || CAST(doc_id AS VARCHAR)
+                 || '?utm_source=feed&utm_campaign=x'
+     WHEN 1 THEN 'https://news.example.com/Post/' || CAST(doc_id AS VARCHAR)
+                 || '?a=1&utm_medium=m&b=2'
+     WHEN 2 THEN 'HTTP://Blog.Test.org/p/' || CAST(doc_id AS VARCHAR)
+                 || '/#section-2'
+     WHEN 3 THEN 'https://blog.test.org/p/' || CAST(doc_id AS VARCHAR) || '/'
+     WHEN 4 THEN 'https://shop.example.com/item?id=' || CAST(doc_id AS VARCHAR)
+                 || '&fbclid=abc123'
+     ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END"""
+
+
+def _canonical_urls_sql() -> str:
+    """Mirror of hygiene.canonicalize_url: split_part/list_filter CTE
+    chain over the same six URL variants."""
+    return rf"""
+        WITH d AS (SELECT doc_id, {_VARIANT_URL_SQL} AS url
+                   FROM documents),
+        u0 AS (SELECT doc_id, url, split_part(url, '#', 1) AS base FROM d),
+        u1 AS (SELECT *, regexp_extract(base,
+                   '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)', 1) AS head
+               FROM u0),
+        u2 AS (SELECT *, lower(head) || substr(base, length(head) + 1)
+                   AS lowered FROM u1),
+        u3 AS (SELECT *, split_part(lowered, '?', 1) AS path FROM u2),
+        u4 AS (SELECT *, CASE WHEN length(path) < length(lowered)
+                              THEN substr(lowered, length(path) + 2)
+                              ELSE '' END AS qs FROM u3),
+        u5 AS (SELECT *, list_filter(string_split(qs, '&'),
+                   p -> length(p) > 0 AND NOT regexp_matches(p,
+                        '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')) AS params
+               FROM u4)
+        SELECT doc_id, url,
+               regexp_replace(path, '/$', '')
+               || CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&')
+                       ELSE '' END AS canonical_url
+        FROM u5
+    """
+
+
+def _stratified_sample_sql() -> str:
+    h = _H60.format(x="'ws1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE ({h}) % 1000000 <
+              CASE WHEN lang = 'de' THEN 250000
+                   WHEN lang = 'en' THEN 500000
+                   ELSE 100000 END
     """
 
 
@@ -907,6 +1183,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
         """,
+        "pii_mask": _pii_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "domain_stats": _domain_stats_sql(),
+        "canonical_urls": _canonical_urls_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "events_confusion": """
             SELECT CASE WHEN value + (event_id % 20) - 10 >= 50
                         THEN 'high' ELSE 'low' END AS pred,
@@ -939,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_sql(),
         "media_resize": _media_transform_sql("resize"),
         "media_frame_sample": _media_transform_sql("frame_sample"),
+        "media_pcm_sample": _media_transform_sql("pcm_sample"),
         "curated_docs": _curate_sql(),
         "curated_docs_transitive": _curate_sql(transitive=True),
         "ann_lsh_topk": _ann_lsh_sql(),
@@ -1367,6 +1649,13 @@ def _media_transform_sql(op: str) -> str:
         spec = "resize:256x256"
         w, h = "CAST(256 AS INTEGER)", "CAST(256 AS INTEGER)"
         nf = f"CASE WHEN kind = 'video' THEN {frames} ELSE NULL END"
+    elif op == "pcm_sample":
+        spec = "pcm_sample:4"
+        w, h = "CAST(NULL AS INTEGER)", "CAST(NULL AS INTEGER)"
+        n_samples = ("(1 + CAST('0x' || substr(digest, 17, 8) AS UBIGINT)"
+                     " % 10000000)")
+        nf = (f"CASE WHEN kind = 'audio' THEN "
+              f"CAST(ceil({n_samples} / 4.0) AS INTEGER) ELSE NULL END")
     else:
         spec = "frame_sample:7"
         w = ("CAST(1 + CAST('0x' || substr(digest, 1, 4) AS UBIGINT) % 1024"
@@ -1400,7 +1689,17 @@ def _media_sql() -> str:
                           WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                           ELSE 'video' END AS kind,
                      norm, md5(norm) AS digest
-              FROM n)
+              FROM n),
+        a AS (SELECT *,
+                     CASE WHEN kind = 'audio'
+                          THEN CAST(8000 + CAST('0x' || substr(digest, 13, 4)
+                                    AS UBIGINT) % 40000 AS INTEGER)
+                          END AS sample_rate,
+                     CASE WHEN kind = 'audio'
+                          THEN CAST(1 + CAST('0x' || substr(digest, 17, 8)
+                                    AS UBIGINT) % 10000000 AS BIGINT)
+                          END AS n_samples
+              FROM m)
         SELECT media_id, kind,
                CAST(length(norm) AS BIGINT) AS n_bytes, digest,
                CAST(1 + CAST('0x' || substr(digest, 1, 4) AS UBIGINT) % 1024
@@ -1411,6 +1710,10 @@ def _media_sql() -> str:
                     THEN CAST(1 + CAST('0x' || substr(digest, 9, 4)
                                        AS UBIGINT) % 300 AS INTEGER)
                     ELSE NULL END AS n_frames,
+               sample_rate,
+               n_samples,
+               CAST((n_samples * 1000) // sample_rate AS BIGINT)
+                   AS duration_ms,
                CAST(NULL AS VARCHAR) AS error
-        FROM m
+        FROM a
     """

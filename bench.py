@@ -64,12 +64,15 @@ WARMUP_PATH = PAGES_PATH.replace(".parquet", "_warmup.parquet")
 
 HEADLINE = [
     "extract_text", "extract_spans", "block_scores", "dedup_exact",
-    "simhash", "jaccard_pairs",
+    "simhash", "jaccard_pairs", "paragraph_dedup",
     "knn_cosine", "near_dup_embeddings_lsh",
-    "lang_id", "quality_scores", "token_counts_by_source",
+    "lang_id", "quality_scores", "quality_scores_multilang",
+    "pii_mask", "decontaminate", "domain_stats", "stratified_sample",
+    "token_counts_by_source",
     "token_stats", "winnow_fingerprints",
     "events_confusion", "events_windowed",
     "media_features", "media_resize", "media_frame_sample",
+    "media_pcm_sample",
     "ann_lsh_topk", "ann_ivf_topk",
 ]
 

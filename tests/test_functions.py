@@ -1160,3 +1160,241 @@ def test_paragraph_dedup_drops_boilerplate_keeps_order(spark):
     kept = {r["id"]: r["kept_text"] for r in paragraph_dedup(
         spark.createDataFrame(rows), max_occurrences=3).collect()}
     assert kept[2] == f"beta body two\n{footer}"
+
+
+def test_pii_masking_counts_and_sentinels(spark):
+    from webextract.functions.hygiene import with_pii_masked
+
+    rows = [
+        Row(doc_id=1, text="mail jane.doe+x@sub.example.co.uk or call "
+                           "+31 20 5551234 now"),
+        Row(doc_id=2, text="server at 192.168.1.1 and backup 10.0.0.2"),
+        Row(doc_id=3, text="compact +14155551234 works"),
+        Row(doc_id=4, text="no pii: just 1234, a.b, and price +99"),
+    ]
+    out = {r["doc_id"]: r for r in with_pii_masked(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1]["masked_text"] == "mail <EMAIL> or call <PHONE> now"
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) \
+        == (1, 1, 0)
+    assert out[2]["masked_text"] == "server at <IP> and backup <IP>"
+    assert out[2]["n_ips"] == 2
+    assert out[3]["masked_text"] == "compact <PHONE> works"
+    assert out[4]["masked_text"] == rows[3].text  # untouched
+    assert out[4]["has_pii"] is False
+    assert out[1]["has_pii"] is True
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from webextract.functions.hygiene import decontaminate
+
+    secret = ("the capital of france is paris and the capital of spain "
+              "is madrid")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"intro words here {secret} trailing words"),
+        Row(doc_id=2, text="a completely unrelated document about spark "
+                           "sql query planning and shuffle exchanges"),
+        Row(doc_id=3, text="too short to gram"),
+    ])
+    bench = spark.createDataFrame([Row(text=secret)])
+    out = {r["id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert len(out) == 3  # every doc present, clean ones with 0
+    assert out[1]["contaminated"] is True and out[1]["n_overlap"] >= 1
+    assert out[2]["contaminated"] is False and out[2]["n_overlap"] == 0
+    assert out[3]["contaminated"] is False
+
+
+def test_domain_stats_and_blocklist(spark):
+    from webextract.functions.hygiene import (
+        domain_stats, filter_blocklist,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, url="https://News.Example.com/a", text="xx"),
+        Row(doc_id=2, url="https://news.example.com/b?q=1", text="yyy"),
+        Row(doc_id=3, url="http://spam.seofarm.net/z", text="zz"),
+        Row(doc_id=4, url="not a url", text="w"),
+    ])
+    stats = {r["domain"]: r for r in domain_stats(docs).collect()}
+    assert stats["news.example.com"]["n_docs"] == 2  # case-folded
+    assert stats["news.example.com"]["total_chars"] == 5
+    assert stats[""]["n_docs"] == 1  # unparseable -> '' bucket
+    blocked = spark.createDataFrame([Row(domain="spam.seofarm.net")])
+    kept = filter_blocklist(docs, blocked)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 4]
+    assert "_domain" not in kept.columns
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from webextract.functions.hygiene import stratified_sample
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"))
+    rates = {"en": 0.5, "zh": 0.1}
+    a = sorted(r["doc_id"] for r in stratified_sample(
+        docs, rates, strata_col="lang").collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(
+        docs, rates, strata_col="lang").collect())
+    assert a == b  # rerun-identical: hash-based, no rand()
+    by_lang = {
+        lang: sum(1 for r in stratified_sample(
+            docs, rates, strata_col="lang").collect() if r["lang"] == lang)
+        for lang in ("en", "zh")
+    }
+    assert abs(by_lang["en"] / 2000 - 0.5) < 0.05
+    assert abs(by_lang["zh"] / 2000 - 0.1) < 0.03
+    c = sorted(r["doc_id"] for r in stratified_sample(
+        docs, rates, strata_col="lang", salt="other").collect())
+    assert a != c  # independent draw under a different salt
+
+
+def _encode_wav(n_frames: int, rate: int = 8000, nch: int = 2,
+                bits: int = 16) -> bytes:
+    """Minimal RIFF/WAVE writer (PCM): deterministic sawtooth samples."""
+    import struct as st
+
+    balign = nch * bits // 8
+    data = b"".join(
+        st.pack("<" + "h" * nch, *[(i * 37 + c * 11) % 32768 - 16384
+                                   for c in range(nch)])
+        for i in range(n_frames))
+    fmt = st.pack("<HHIIHH", 1, nch, rate, rate * balign, balign, bits)
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def _encode_avi(w: int, h: int, n_frames: int,
+                us_per_frame: int = 40000) -> bytes:
+    """Minimal RIFF/AVI with just the LIST/hdrl avih main header."""
+    import struct as st
+
+    avih = st.pack("<IIIIIIIIII", us_per_frame, 0, 0, 0, n_frames,
+                   0, 1, 0, w, h) + b"\x00" * 16  # 56-byte MainAVIHeader
+    hdrl = b"hdrl" + b"avih" + st.pack("<I", len(avih)) + avih
+    body = b"AVI " + b"LIST" + st.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_media_features_real_wav_and_avi(spark):
+    from webextract.functions.multimodal import media_features
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    wav = _encode_wav(1000, rate=8000, nch=2, bits=16)
+    avi = _encode_avi(320, 240, 250, us_per_frame=40000)
+    rows = {r["media_id"]: r for r in media_features(
+        spark.createDataFrame([
+            Row(media_id=1, payload=wav, kind="audio"),
+            Row(media_id=2, payload=avi, kind="video"),
+            Row(media_id=3, payload=b"RIFF\x04\x00\x00\x00XXXX",
+                kind="audio"),
+        ]), backend="real").collect()}
+    w = rows[1]
+    assert w["error"] is None
+    assert (w["sample_rate"], w["n_samples"]) == (8000, 1000)
+    assert w["duration_ms"] == 125  # 1000 frames / 8000 Hz
+    assert w["width"] is None and w["n_frames"] is None
+    assert w["digest"] == hashlib.md5(wav).hexdigest()
+    a = rows[2]
+    assert a["error"] is None
+    assert (a["width"], a["height"], a["n_frames"]) == (320, 240, 250)
+    assert a["duration_ms"] == 10000  # 250 * 40ms
+    assert "RIFF subtype" in rows[3]["error"]
+
+
+def test_media_transform_real_pcm_sample(spark):
+    import numpy as np_
+
+    from webextract.functions.multimodal import (
+        _wav_info, media_transform,
+    )
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    wav = _encode_wav(1000, rate=8000, nch=2, bits=16)
+    out = {r["media_id"]: r for r in media_transform(
+        spark.createDataFrame([
+            Row(media_id=1, payload=wav, kind="audio"),
+            Row(media_id=2, payload=b"\x89PNG\r\n\x1a\nrest", kind="image"),
+        ]), op="pcm_sample", sample_every=3, backend="real").collect()}
+    ok = out[1]
+    assert ok["error"] is None
+    assert ok["n_frames"] == 334  # ceil(1000 / 3)
+    _, off, dsize, balign = _wav_info(wav)
+    arr = np_.frombuffer(wav[off:off + dsize], dtype=np_.uint8) \
+        .reshape(1000, balign)[::3]
+    assert ok["digest"] == hashlib.md5(arr.tobytes()).hexdigest()
+    assert out[2]["error"] is not None  # images have no PCM stream
+
+
+def test_media_features_real_mp3(spark):
+    from webextract.functions.multimodal import media_features
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    # 3 MPEG1 Layer-III frames @128kbps/44100Hz behind an ID3v2 tag:
+    # frame_len = 144*128000//44100 = 417 bytes, 1152 samples each
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x55" * 413
+    tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    mp3 = tag + frame * 3
+    out = media_features(
+        spark.createDataFrame([Row(media_id=1, payload=mp3, kind="audio")]),
+        backend="real").collect()[0]
+    assert out["error"] is None
+    assert out["sample_rate"] == 44100
+    assert out["n_samples"] == 3 * 1152
+    assert out["duration_ms"] == 3 * 1152 * 1000 // 44100
+    assert out["width"] is None
+
+
+def test_media_features_real_mp4(spark):
+    import struct as st
+
+    from webextract.functions.multimodal import media_features
+    from webextract.pipeline import ship_package
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return st.pack(">I", 8 + len(payload)) + btype + payload
+
+    ship_package(spark)
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4)
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + st.pack(">II", 1000, 5000))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x00" + b"\x00" * 72
+               + st.pack(">II", 320 << 16, 240 << 16))
+    stsz = box(b"stsz", b"\x00\x00\x00\x00" + st.pack(">II", 0, 99))
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl",
+                                                             stsz))))
+    mp4 = ftyp + box(b"moov", mvhd + trak)
+    out = media_features(
+        spark.createDataFrame([Row(media_id=1, payload=mp4, kind="video")]),
+        backend="real").collect()[0]
+    assert out["error"] is None
+    assert (out["width"], out["height"]) == (320, 240)
+    assert out["n_frames"] == 99
+    assert out["duration_ms"] == 5000
+
+
+def test_canonicalize_url_pins(spark):
+    from webextract.functions.hygiene import canonicalize_url
+
+    cases = {
+        "https://News.Example.com/Post/7?utm_source=a&utm_campaign=b":
+            "https://news.example.com/Post/7",
+        "https://a.co/x?a=1&utm_medium=m&b=2": "https://a.co/x?a=1&b=2",
+        "HTTP://Blog.Test.org/p/9/#sec": "http://blog.test.org/p/9",
+        "https://b.org/p/9/": "https://b.org/p/9",
+        "https://s.com/item?id=3&fbclid=zz": "https://s.com/item?id=3",
+        "https://s.com/?gclid=1": "https://s.com",
+        "https://s.com/a?utm_a=1&utm_b=2&utm_c=3": "https://s.com/a",
+        "not a url 5": "not a url 5",
+        "": "",
+    }
+    rows = spark.createDataFrame(
+        [Row(i=i, u=u) for i, u in enumerate(cases)])
+    out = {r["u"]: r["c"] for r in rows.select(
+        "u", canonicalize_url(F.col("u")).alias("c")).collect()}
+    for raw, want in cases.items():
+        assert out[raw] == want, (raw, out[raw], want)

@@ -311,3 +311,32 @@ def test_jpeg_decoder_total_on_byte_soup():
             pass  # the batch wrapper's per-row error contract
 
     run()
+
+
+def test_real_world_baseline_jpegs_decode():
+    # independent fixtures: real camera/tool-produced baseline JPEGs
+    # shipped with CPython (test data) and rustup docs — the decoder must
+    # handle real entropy streams, not just our own encoder's output
+    import glob
+    import os
+
+    from webextract.functions.jpeg import jpeg_pixels
+
+    fixtures = [
+        p for pat in (
+            "/root/.pyenv/versions/*/lib/python3.13/test/test_email/data/"
+            "python.jpg",
+            "/root/.rustup/toolchains/stable-*/share/doc/rust/html/"
+            "embedded-book/assets/verify.jpeg",
+        ) for p in glob.glob(pat)
+    ]
+    if not fixtures:
+        import pytest as _pytest
+        _pytest.skip("no real-world JPEG fixtures on this host")
+    for path in fixtures:
+        data = open(path, "rb").read()
+        w, h, nch, pix = jpeg_pixels(data)
+        assert w > 0 and h > 0 and nch in (1, 3)
+        assert len(pix) == w * h * nch
+        # real photos are not flat: pixel variance must be non-trivial
+        assert len(set(pix[:4096])) > 16, os.path.basename(path)

@@ -84,3 +84,41 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_pii_regex_cross_engine_adversarial(spark, duck):
+    """The PII patterns live in the Java-regex/RE2 common subset; pin
+    that claim on adversarial strings (boundary digits, emails abutting
+    IPs, '+' runs, version numbers), not just the synthetic corpus."""
+    from pyspark.sql import Row, functions as F
+
+    from webextract.functions.hygiene import PII_PATTERNS
+
+    cases = [
+        "a@b.co",
+        "x a.b@c.d.ee y 1.2.3.4",
+        "v1.2.3.4.5 ip 255.255.255.255.",
+        "tel +31 20 5551234, +14155551234. +1 2 3",
+        "no@tld a@b a@b. _%+-@ok.com",
+        "mix +4912345678901234567890 and 999.999.999.999",
+        "email@sub-domain.example.museum!",
+        "+12 34-5678 edge +1-23-456",
+        "dot.end. 1.2.3.4a 1..2..3..4",
+        "",
+    ]
+    sdf = spark.createDataFrame([Row(i=i, t=t) for i, t in
+                                 enumerate(cases)])
+    for name, pattern, repl in PII_PATTERNS:
+        srows = sorted(
+            (r["i"], r["m"], r["c"]) for r in sdf.select(
+                "i",
+                F.regexp_replace("t", pattern, repl).alias("m"),
+                F.regexp_count("t", F.lit(pattern)).alias("c")).collect())
+        duck.execute("CREATE OR REPLACE TABLE _pii_cases(i INT, t VARCHAR)")
+        duck.executemany("INSERT INTO _pii_cases VALUES (?, ?)",
+                         list(enumerate(cases)))
+        drows = sorted(tuple(r) for r in duck.execute(
+            f"SELECT i, regexp_replace(t, '{pattern}', '{repl}', 'g'),"
+            f" CAST(len(regexp_extract_all(t, '{pattern}')) AS INT)"
+            " FROM _pii_cases").fetchall())
+        assert srows == drows, f"{name} diverged: {srows} vs {drows}"

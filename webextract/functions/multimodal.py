@@ -7,7 +7,9 @@ never exceptions):
 - ``backend="fake"`` (default): deterministic pseudo-features derived from
   the payload's md5 — reproducible anywhere, oracle-checkable in SQL.
 - ``backend="real"``: pure-Python container parsing — PNG IHDR, GIF
-  logical screen + frame walk, JPEG SOFn scan, BMP info header — plus a
+  logical screen + frame walk, JPEG SOFn scan, BMP info header, RIFF
+  containers (WAVE fmt/data chunk walk → sample rate / PCM frame count /
+  duration; AVI avih header → dims, frame count, duration) — plus a
   pure-Python PIXEL stage: PNG (IDAT zlib inflate → scanline unfilter →
   palette expand), BMP (raw 24/32-bpp), GIF (pure-Python GIF-LZW →
   deinterlace → palette → canvas composite; first frame) and baseline
@@ -47,6 +49,9 @@ MEDIA_FEATURES_SCHEMA = StructType([
     StructField("width", IntegerType(), True),     # fake-decoded dims
     StructField("height", IntegerType(), True),
     StructField("n_frames", IntegerType(), True),  # video only
+    StructField("sample_rate", IntegerType(), True),  # audio only
+    StructField("n_samples", LongType(), True),
+    StructField("duration_ms", LongType(), True),  # audio + AVI video
     StructField("error", StringType(), True),
 ])
 
@@ -57,6 +62,9 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     width  = 1 + (first 2 md5 bytes as int) % 1024
     height = 1 + (next 2 md5 bytes as int) % 1024
     n_frames (video) = 1 + (next 2 bytes) % 300
+    audio: sample_rate = 8000 + (hex 13..16) % 40000,
+           n_samples = 1 + (hex 17..24) % 10_000_000,
+           duration_ms = n_samples * 1000 // sample_rate (exact int div)
     These formulas are reproducible in plain SQL from the md5 hex, which
     is what makes the oracle check exact.
     """
@@ -64,9 +72,16 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     width = 1 + int(digest[0:4], 16) % 1024
     height = 1 + int(digest[4:8], 16) % 1024
     n_frames = (1 + int(digest[8:12], 16) % 300) if kind == "video" else None
+    sample_rate = n_samples = duration_ms = None
+    if kind == "audio":
+        sample_rate = 8000 + int(digest[12:16], 16) % 40000
+        n_samples = 1 + int(digest[16:24], 16) % 10_000_000
+        duration_ms = n_samples * 1000 // sample_rate
     return {
         "n_bytes": len(payload), "digest": digest,
         "width": width, "height": height, "n_frames": n_frames,
+        "sample_rate": sample_rate, "n_samples": n_samples,
+        "duration_ms": duration_ms,
     }
 
 
@@ -166,16 +181,214 @@ _SNIFFERS = (
 )
 
 
+def _wav_info(b: bytes) -> tuple[dict, int, int, int]:
+    """RIFF/WAVE header walk → ((sample_rate, n_samples, duration_ms,
+    n_channels fields), data_offset, data_size, block_align). Header-only
+    work bounded by the payload length — no inflation, no bomb risk.
+    PCM frame count = data bytes // block_align (one frame = one sample
+    across all channels, the WAV spec's unit)."""
+    if len(b) < 12 or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_off, data_size = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= len(b):
+            _afmt, nch, rate, _brate, balign, _bits = \
+                struct.unpack_from("<HHIIHH", b, pos + 8)
+            fmt = (nch, rate, balign)
+        elif cid == b"data":
+            data_off, data_size = pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or data_off is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    nch, rate, balign = fmt
+    if rate <= 0 or balign <= 0:
+        raise ValueError("WAV invalid sample rate / block align")
+    data_size = min(data_size, len(b) - data_off)  # truncated payloads
+    n_samples = data_size // balign
+    info = {"sample_rate": rate, "n_samples": n_samples,
+            "duration_ms": n_samples * 1000 // rate}
+    return info, data_off, data_size, balign
+
+
+def _avi_info(b: bytes) -> dict:
+    """RIFF/AVI main-header walk (the 'avih' chunk inside LIST/hdrl):
+    width/height, total frame count and duration from the per-frame
+    interval. Header-only, bounded."""
+    if len(b) < 12 or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    while pos + 12 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"LIST" and b[pos + 8:pos + 12] == b"hdrl":
+            inner, end = pos + 12, min(pos + 8 + size, len(b))
+            while inner + 8 <= end:
+                icid = b[inner:inner + 4]
+                isize = struct.unpack_from("<I", b, inner + 4)[0]
+                if icid == b"avih" and inner + 48 <= len(b):
+                    d = inner + 8  # MainAVIHeader layout
+                    us_per_frame = struct.unpack_from("<I", b, d)[0]
+                    n_frames = struct.unpack_from("<I", b, d + 16)[0]
+                    w, h = struct.unpack_from("<II", b, d + 32)
+                    return {"width": w, "height": h,
+                            "n_frames": max(n_frames, 1),
+                            "duration_ms":
+                                n_frames * us_per_frame // 1000}
+                inner += 8 + isize + (isize & 1)
+        pos += 8 + size + (size & 1)
+    raise ValueError("AVI missing avih header")
+
+
+# MPEG audio (MP3) header tables — Layer III only, the web's dominant
+# audio format. Bitrates in kbps by (is_mpeg1, bitrate_index); sample
+# rates by (version_bits, samplerate_index).
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                    224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                    144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000),    # MPEG1
+              2: (22050, 24000, 16000),    # MPEG2
+              0: (11025, 12000, 8000)}     # MPEG2.5
+
+
+def _mp3_info(b: bytes) -> dict:
+    """MP3 frame-header walk: skip an ID3v2 tag, then step frame to
+    frame summing samples (1152 per MPEG1 Layer-III frame, 576 for
+    MPEG2/2.5). Pure header math bounded by the payload length — no
+    entropy decode. Total = frames seen until the sync pattern ends."""
+    pos = 0
+    if b.startswith(b"ID3") and len(b) >= 10:
+        # ID3v2 size is 4 synchsafe (7-bit) bytes
+        size = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        pos = 10 + size
+    n_frames = n_samples = 0
+    rate = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+            break
+        version = (b[pos + 1] >> 3) & 0x03   # 3=MPEG1 2=MPEG2 0=MPEG2.5
+        layer = (b[pos + 1] >> 1) & 0x03     # 1 = Layer III
+        br_idx = (b[pos + 2] >> 4) & 0x0F
+        sr_idx = (b[pos + 2] >> 2) & 0x03
+        padding = (b[pos + 2] >> 1) & 0x01
+        if (version == 1 or layer != 1 or br_idx in (0, 15)
+                or sr_idx == 3):
+            raise ValueError("unsupported MPEG audio frame "
+                             f"(version={version} layer={layer})")
+        mpeg1 = version == 3
+        bitrate = (_MP3_BITRATES_V1 if mpeg1
+                   else _MP3_BITRATES_V2)[br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        spf = 1152 if mpeg1 else 576
+        frame_len = spf // 8 * bitrate // rate + padding
+        if frame_len <= 4:
+            raise ValueError("degenerate MPEG audio frame")
+        n_frames += 1
+        n_samples += spf
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    return {"sample_rate": rate, "n_samples": n_samples,
+            "duration_ms": n_samples * 1000 // rate}
+
+
+def _mp4_find(b: bytes, lo: int, hi: int, path: tuple[bytes, ...]):
+    """ISO-BMFF box walk: return (data_lo, data_hi) of the first box at
+    ``path`` (e.g. (b'moov', b'mvhd')) inside [lo, hi), or None."""
+    want, rest = path[0], path[1:]
+    pos = lo
+    while pos + 8 <= hi:
+        size = struct.unpack_from(">I", b, pos)[0]
+        btype = b[pos + 4:pos + 8]
+        data = pos + 8
+        if size == 1 and pos + 16 <= hi:       # 64-bit largesize
+            size = struct.unpack_from(">Q", b, pos + 8)[0]
+            data = pos + 16
+        if size == 0:                          # box runs to end
+            size = hi - pos
+        if size < 8:
+            raise ValueError("bad MP4 box size")
+        end = min(pos + size, hi)
+        if btype == want:
+            if not rest:
+                return data, end
+            found = _mp4_find(b, data, end, rest)
+            if found is not None:
+                return found
+        pos += size
+    return None
+
+
+def _mp4_info(b: bytes) -> dict:
+    """MP4 (ISO base media) header walk: mvhd → timescale/duration,
+    video trak tkhd → dims (16.16 fixed point), stsz → sample (frame)
+    count. Header-only, bounded."""
+    mv = _mp4_find(b, 0, len(b), (b"moov", b"mvhd"))
+    if mv is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    lo, _ = mv
+    ver = b[lo]
+    if ver == 1:
+        timescale = struct.unpack_from(">I", b, lo + 20)[0]
+        duration = struct.unpack_from(">Q", b, lo + 24)[0]
+    else:
+        timescale, duration = struct.unpack_from(">II", b, lo + 12)
+    if timescale <= 0:
+        raise ValueError("MP4 invalid timescale")
+    out = {"duration_ms": duration * 1000 // timescale}
+    tk = _mp4_find(b, 0, len(b), (b"moov", b"trak", b"tkhd"))
+    if tk is not None:
+        tlo, tend = tk
+        woff = tlo + (88 if b[tlo] == 1 else 76)
+        if woff + 8 <= tend:
+            wfx, hfx = struct.unpack_from(">II", b, woff)
+            if wfx and hfx:
+                out["width"], out["height"] = wfx >> 16, hfx >> 16
+    st = _mp4_find(b, 0, len(b),
+                   (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stsz"))
+    if st is not None:
+        slo, send = st
+        if slo + 12 <= send:
+            out["n_frames"] = max(
+                struct.unpack_from(">I", b, slo + 8)[0], 1)
+    return out
+
+
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Header-level decode by magic-byte sniffing (container format wins
     over the declared ``kind``). Unknown containers raise ValueError,
     which the batch wrapper captures as a per-row ``error``."""
+    base = {
+        "n_bytes": len(payload),
+        "digest": hashlib.md5(payload).hexdigest(),
+        "width": None, "height": None, "n_frames": None,
+        "sample_rate": None, "n_samples": None, "duration_ms": None,
+    }
+    if payload.startswith(b"RIFF"):
+        sub = payload[8:12]
+        if sub == b"WAVE":
+            base.update(_wav_info(payload)[0])
+            return base
+        if sub == b"AVI ":
+            base.update(_avi_info(payload))
+            return base
+        raise ValueError(f"unsupported RIFF subtype {sub!r}")
     for magic, parse in _SNIFFERS:
         if payload.startswith(magic):
             w, h, frames = parse(payload)
-            digest = hashlib.md5(payload).hexdigest()
-            return {"n_bytes": len(payload), "digest": digest,
-                    "width": w, "height": h, "n_frames": frames}
+            base.update({"width": w, "height": h, "n_frames": frames})
+            return base
+    if payload[4:8] == b"ftyp":                # MP4 / ISO-BMFF
+        base.update(_mp4_info(payload))
+        return base
+    if payload.startswith(b"ID3") or (
+            len(payload) >= 2 and payload[0] == 0xFF
+            and payload[1] & 0xE0 == 0xE0):    # MPEG audio (after JPEG)
+        base.update(_mp3_info(payload))
+        return base
     raise ValueError("unsupported media container (no known magic bytes)")
 
 
@@ -489,7 +702,9 @@ def make_media_batches(backend: str = "fake"):
             ):
                 row = {"media_id": mid, "kind": kind, "n_bytes": None,
                        "digest": None, "width": None, "height": None,
-                       "n_frames": None, "error": None}
+                       "n_frames": None, "sample_rate": None,
+                       "n_samples": None, "duration_ms": None,
+                       "error": None}
                 try:
                     if payload is None:
                         row["error"] = "null payload"
@@ -524,11 +739,15 @@ MEDIA_TRANSFORM_SCHEMA = StructType([
 def media_transform(media: DataFrame, op: str,
                     width: int | None = None, height: int | None = None,
                     frame_every: int | None = None,
+                    sample_every: int | None = None,
                     backend: str = "fake",
                     decoder=None) -> DataFrame:
     """Media transform plumbing over Arrow batches: ``op`` is ``resize``
-    (target width×height, aspect ignored) or ``frame_sample`` (keep every
-    ``frame_every``-th frame of a video/animation).
+    (target width×height, aspect ignored), ``frame_sample`` (keep every
+    ``frame_every``-th frame of a video/animation), or ``pcm_sample``
+    (keep every ``sample_every``-th PCM frame of an audio payload — the
+    audio analog of frame_sample; real backend decodes RIFF/WAVE, digest
+    = md5 of the strided PCM bytes, ``n_frames`` = samples kept).
 
     ``backend="fake"`` applies the transform to the md5-derived fake
     decode: output dims are the clamped targets, sampled frame count is
@@ -558,6 +777,10 @@ def media_transform(media: DataFrame, op: str,
         if not frame_every or frame_every < 1:
             raise ValueError("frame_sample requires frame_every >= 1")
         spec = f"frame_sample:{frame_every}"
+    elif op == "pcm_sample":
+        if not sample_every or sample_every < 1:
+            raise ValueError("pcm_sample requires sample_every >= 1")
+        spec = f"pcm_sample:{sample_every}"
     else:
         raise ValueError(f"unknown media op {op!r}")
     decode = _fake_decode if backend == "fake" else _real_decode
@@ -606,6 +829,28 @@ def media_transform(media: DataFrame, op: str,
                             row["width"] = clamp(width)
                             row["height"] = clamp(height)
                             row["n_frames"] = src["n_frames"]
+                            row["digest"] = hashlib.md5(
+                                f"{src['digest']}:{spec}".encode()
+                            ).hexdigest()
+                        elif op == "pcm_sample" and backend != "fake":
+                            # real: stride the RIFF/WAVE PCM frame
+                            # stream (one frame = block_align bytes);
+                            # non-WAV payloads error per-row
+                            import numpy as np
+
+                            _, off, dsize, balign = _wav_info(pb)
+                            n = dsize // balign
+                            kept = np.frombuffer(
+                                pb[off:off + n * balign], dtype=np.uint8
+                            ).reshape(n, balign)[::sample_every]
+                            row["n_frames"] = int(kept.shape[0])
+                            row["digest"] = hashlib.md5(
+                                kept.tobytes()).hexdigest()
+                        elif op == "pcm_sample":
+                            n = src["n_samples"]
+                            row["n_frames"] = (
+                                math.ceil(n / sample_every)
+                                if n is not None else None)
                             row["digest"] = hashlib.md5(
                                 f"{src['digest']}:{spec}".encode()
                             ).hexdigest()
