@@ -1057,14 +1057,18 @@ def test_media_transform_real_jpeg_resize(spark):
     assert out["digest"] == hashlib.md5(
         arr[ys][:, xs].tobytes()).hexdigest()
 
-    # progressive JPEG stays a per-row error (documented scope limit)
-    prog = bytearray(jp)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-    bad = media_transform(
+    # progressive JPEG decodes through the same seam (SOF2 scan
+    # accumulation), pixel-identical to the baseline encoding of the
+    # same coefficients — so the resize digests match exactly
+    from test_jpeg import encode_jpeg_progressive
+
+    prog = encode_jpeg_progressive(w, h, pix)
+    pout = media_transform(
         spark.createDataFrame(
-            [Row(media_id=2, payload=bytes(prog), kind="image")]),
+            [Row(media_id=2, payload=prog, kind="image")]),
         op="resize", width=4, height=4, backend="real").collect()[0]
-    assert "progressive" in bad["error"]
+    assert pout["error"] is None
+    assert pout["digest"] == out["digest"]
 
 
 def test_media_transform_injected_decoder_seam(spark):

@@ -10,11 +10,13 @@ equivalent for environments without a codec library, and the
 deterministic fallback behind the pluggable ``decoder=`` seam in
 :mod:`webextract.functions.multimodal`.
 
-Scope: baseline DCT sequential (SOF0) and extended sequential (SOF1),
-8-bit samples, grayscale or YCbCr, any sampling factors, restart
-markers, 16-bit quantization tables. Progressive (SOF2) and
-arithmetic-coded frames raise ``ValueError`` — captured as per-row error
-values by the batch wrapper, never exceptions.
+Scope: baseline DCT sequential (SOF0), extended sequential (SOF1) and
+progressive (SOF2, T.81 G.2: spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB runs), 8-bit
+samples, grayscale or YCbCr, any sampling factors, restart markers,
+16-bit quantization tables. Lossless and arithmetic-coded frames raise
+``ValueError`` — captured as per-row error values by the batch wrapper,
+never exceptions.
 
 Performance note: this is a per-row Python loop (~100× slower than a C
 codec like libjpeg-turbo); production installs a native decoder through
@@ -33,8 +35,8 @@ _ZIGZAG = (
 )
 
 _SOF_BASELINE = {0xC0, 0xC1}       # Huffman sequential
+_SOF_PROGRESSIVE = {0xC2}          # Huffman progressive
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive JPEG unsupported",
     0xC3: "lossless JPEG unsupported",
     0xC5: "differential sequential JPEG unsupported",
     0xC6: "differential progressive JPEG unsupported",
@@ -169,11 +171,12 @@ def _extend(v: int, s: int) -> int:
 
 
 def jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
-    """Decode baseline JPEG bytes → (width, height, channels, raw pixels).
+    """Decode JPEG bytes → (width, height, channels, raw pixels).
 
-    Channels: 1 for grayscale frames, 3 (RGB, BT.601 conversion from
-    YCbCr) otherwise. Raises ValueError on anything outside baseline
-    sequential scope — the caller's per-row error contract.
+    Handles baseline/extended sequential (SOF0/SOF1) and progressive
+    (SOF2) Huffman frames. Channels: 1 for grayscale frames, 3 (RGB,
+    BT.601 conversion from YCbCr) otherwise. Raises ValueError on
+    anything outside that scope — the caller's per-row error contract.
     """
     import numpy as np
 
@@ -183,6 +186,7 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     huff_dc: dict[int, _Huffman] = {}
     huff_ac: dict[int, _Huffman] = {}
     frame = None           # (w, h, components) from SOF
+    progressive = False
     restart_interval = 0
     pos = 2
     n = len(b)
@@ -202,7 +206,7 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         seg = b[pos + 4:pos + 2 + seg_len]
         if marker in _SOF_UNSUPPORTED:
             raise ValueError(_SOF_UNSUPPORTED[marker])
-        if marker in _SOF_BASELINE:
+        if marker in _SOF_BASELINE or marker in _SOF_PROGRESSIVE:
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -216,33 +220,11 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
                               "tq": tq})
             frame = (w, h, comps)
+            progressive = marker in _SOF_PROGRESSIVE
         elif marker == 0xDB:         # DQT: one or more tables
-            sp = 0
-            while sp < len(seg):
-                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
-                sp += 1
-                if pq == 0:
-                    tbl = np.frombuffer(seg[sp:sp + 64], dtype=np.uint8) \
-                        .astype(np.float64)
-                    sp += 64
-                else:
-                    tbl = np.frombuffer(seg[sp:sp + 128], dtype=">u2") \
-                        .astype(np.float64)
-                    sp += 128
-                if tbl.size != 64:
-                    raise ValueError("corrupt DQT")
-                dz = np.empty(64, dtype=np.float64)
-                dz[list(_ZIGZAG)] = tbl      # de-zigzag at parse time
-                qt[tq] = dz.reshape(8, 8)
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:         # DHT: one or more tables
-            sp = 0
-            while sp + 17 <= len(seg):
-                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
-                bits = seg[sp + 1:sp + 17]
-                cnt = sum(bits)
-                values = seg[sp + 17:sp + 17 + cnt]
-                (huff_dc if tc == 0 else huff_ac)[th] = _Huffman(bits, values)
-                sp += 17 + cnt
+            _parse_dht(seg, huff_dc, huff_ac)
         elif marker == 0xDD:         # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:         # SOS: decode the scan
@@ -251,6 +233,12 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             w, h, comps = frame
             if w == 0 or h == 0:
                 raise ValueError("zero-sized JPEG frame")
+            if progressive:
+                # hand the whole remaining marker stream (this SOS and
+                # every later scan/DHT/DRI segment) to the multi-scan
+                # coefficient accumulator
+                return _decode_progressive(b, pos, frame, qt, huff_dc,
+                                           huff_ac, restart_interval)
             ns = seg[0]
             scan = []
             for i in range(ns):
@@ -349,6 +337,322 @@ def _decode_scan(b, pos, w, h, scan, qt, huff_dc, huff_ac,
         return w, h, 1, gray.tobytes()
     y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
     # BT.601 full-range YCbCr → RGB (the JFIF-specified conversion)
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    import numpy as np
+
+    sp = 0
+    while sp < len(seg):
+        pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+        sp += 1
+        if pq == 0:
+            tbl = np.frombuffer(seg[sp:sp + 64], dtype=np.uint8) \
+                .astype(np.float64)
+            sp += 64
+        else:
+            tbl = np.frombuffer(seg[sp:sp + 128], dtype=">u2") \
+                .astype(np.float64)
+            sp += 128
+        if tbl.size != 64:
+            raise ValueError("corrupt DQT")
+        dz = np.empty(64, dtype=np.float64)
+        dz[list(_ZIGZAG)] = tbl      # de-zigzag at parse time
+        qt[tq] = dz.reshape(8, 8)
+
+
+def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    sp = 0
+    while sp + 17 <= len(seg):
+        tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+        bits = seg[sp + 1:sp + 17]
+        cnt = sum(bits)
+        values = seg[sp + 17:sp + 17 + cnt]
+        (huff_dc if tc == 0 else huff_ac)[th] = _Huffman(bits, values)
+        sp += 17 + cnt
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 G.2: every scan delivers a spectral
+# band / successive-approximation slice of the full-frame coefficient
+# arrays; dequantization + IDCT happen once at the end
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(b, pos, frame, qt, huff_dc, huff_ac,
+                        restart_interval):
+    """Accumulate all progressive scans into per-component coefficient
+    grids (zigzag order, int), then reconstruct. ``pos`` points at the
+    first SOS marker; DHT/DQT/DRI segments between scans are honored."""
+    import numpy as np
+
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad JPEG sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]            # padded block grid (MCU)
+        c["bh"] = mcus_y * c["v"]
+        cw = -(-(w * c["h"]) // hmax)        # true component raster
+        ch = -(-(h * c["v"]) // vmax)
+        c["nbx"] = -(-cw // 8)               # blocks coded by a
+        c["nby"] = -(-ch // 8)               # non-interleaved scan
+    coefs = [np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+             for c in comps]
+    n = len(b)
+    saw_scan = False
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:                   # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        (seg_len,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4:pos + 2 + seg_len]
+        if marker == 0xC4:
+            _parse_dht(seg, huff_dc, huff_ac)
+        elif marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i:3 + 2 * i]
+                ci = next((j for j, c in enumerate(comps)
+                           if c["id"] == cs), None)
+                if ci is None:
+                    raise ValueError("SOS references unknown component")
+                scomps.append((ci, tables >> 4, tables & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _prog_scan(b, pos + 2 + seg_len, scomps, ss, se, ah,
+                             al, coefs, comps, huff_dc, huff_ac,
+                             restart_interval, mcus_x, mcus_y)
+            saw_scan = True
+            continue
+        pos += 2 + seg_len
+    if not saw_scan:
+        raise ValueError("no JPEG scan data (missing SOS)")
+    return _prog_reconstruct(w, h, comps, coefs, qt, hmax, vmax)
+
+
+def _prog_scan(b, pos, scomps, ss, se, ah, al, coefs, comps, huff_dc,
+               huff_ac, restart_interval, mcus_x, mcus_y):
+    """Decode one progressive scan into ``coefs``; returns the stream
+    position of the marker that ended the entropy segment."""
+    reader = _BitReader(b, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with nonzero Se")
+        _prog_dc_scan(reader, scomps, ah, al, coefs, comps, huff_dc,
+                      restart_interval, mcus_x, mcus_y)
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("bad progressive spectral band")
+        _prog_ac_scan(reader, scomps[0], ss, se, ah, al, coefs, comps,
+                      huff_ac, restart_interval)
+    # the reader usually stops at the terminating marker's 0xFF, but a
+    # fully-unread trailing pad byte can be left over — skip to the next
+    # true marker (0xFF not followed by a stuffed 0x00)
+    d, p = reader.data, reader.pos
+    while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _prog_dc_scan(reader, scomps, ah, al, coefs, comps, huff_dc,
+                  restart_interval, mcus_x, mcus_y):
+    preds = [0] * len(scomps)
+    tbls = []
+    for _, dc_id, _ in scomps:
+        if ah == 0:                      # refinement scans read raw bits
+            if dc_id not in huff_dc:
+                raise ValueError("SOS references missing Huffman table")
+            tbls.append(huff_dc[dc_id])
+        else:
+            tbls.append(None)
+
+    def block(sci, ci, by, bx):
+        coef = coefs[ci][by, bx]
+        if ah == 0:                      # first DC scan: diff of DC>>al
+            s = reader.decode(tbls[sci])
+            if s > 11:
+                raise ValueError("bad DC category")
+            diff = _extend(reader.bits(s), s) if s else 0
+            preds[sci] += diff
+            coef[0] = preds[sci] << al
+        else:                            # refinement: one bit at al
+            if reader.bit():
+                coef[0] |= 1 << al
+
+    count = 0
+    if len(scomps) > 1:                  # interleaved MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and count \
+                        and count % restart_interval == 0:
+                    reader.align_to_restart()
+                    preds = [0] * len(scomps)
+                if reader.end:
+                    raise ValueError("JPEG entropy stream ended short")
+                for sci, (ci, _, _) in enumerate(scomps):
+                    comp = comps[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            block(sci, ci, my * comp["v"] + by,
+                                  mx * comp["h"] + bx)
+                count += 1
+    else:                                # single component: raster order
+        ci = scomps[0][0]
+        comp = comps[ci]
+        for by in range(comp["nby"]):
+            for bx in range(comp["nbx"]):
+                if restart_interval and count \
+                        and count % restart_interval == 0:
+                    reader.align_to_restart()
+                    preds = [0] * len(scomps)
+                if reader.end:
+                    raise ValueError("JPEG entropy stream ended short")
+                block(0, ci, by, bx)
+                count += 1
+
+
+def _prog_ac_scan(reader, scomp, ss, se, ah, al, coefs, comps, huff_ac,
+                  restart_interval):
+    ci, _, ac_id = scomp
+    if ac_id not in huff_ac:
+        raise ValueError("SOS references missing Huffman table")
+    ac_tbl = huff_ac[ac_id]
+    comp = comps[ci]
+    grid = coefs[ci]
+    p1 = 1 << al
+    m1 = -p1
+    eobrun = 0
+    count = 0
+    for by in range(comp["nby"]):
+        for bx in range(comp["nbx"]):
+            if restart_interval and count \
+                    and count % restart_interval == 0:
+                reader.align_to_restart()
+                eobrun = 0
+            count += 1
+            block = grid[by, bx]
+            if ah == 0:                  # first pass for this band/level
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                if reader.end:
+                    raise ValueError("JPEG entropy stream ended short")
+                k = ss
+                while k <= se:
+                    rs = reader.decode(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:      # EOBn: this block is done
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16          # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient overrun")
+                    block[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+            else:                        # refinement pass (T.81 G.1.2.3)
+                if reader.end and eobrun == 0:
+                    raise ValueError("JPEG entropy stream ended short")
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:  # EOBn incl. this block
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad AC refinement magnitude")
+                            newval = p1 if reader.bit() else m1
+                        # advance past r zero-history coefficients,
+                        # correcting nonzero-history ones on the way
+                        while k <= se:
+                            if block[k] != 0:
+                                if reader.bit() and (block[k] & p1) == 0:
+                                    block[k] += p1 if block[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            block[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB refinement: correction bits for the remaining
+                    # nonzero-history coefficients of the band
+                    while k <= se:
+                        if block[k] != 0:
+                            if reader.bit() and (block[k] & p1) == 0:
+                                block[k] += p1 if block[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _prog_reconstruct(w, h, comps, coefs, qt, hmax, vmax):
+    import numpy as np
+
+    cmat = _idct_matrix()
+    zz = list(_ZIGZAG)
+    out = []
+    for ci, comp in enumerate(comps):
+        if comp["tq"] not in qt:
+            raise ValueError("SOF references missing quantization table")
+        q = qt[comp["tq"]]
+        grid = coefs[ci].astype(np.float64)
+        nat = np.zeros_like(grid)
+        nat[..., zz] = grid                  # de-zigzag
+        blocks = nat.reshape(comp["bh"], comp["bw"], 8, 8) * q
+        # IDCT every block at once: Cᵀ · M · C
+        spat = np.einsum("ij,mnjk,kl->mnil", cmat.T, blocks, cmat)
+        plane = spat.transpose(0, 2, 1, 3).reshape(
+            comp["bh"] * 8, comp["bw"] * 8)
+        cw = -(-(w * comp["h"]) // hmax)
+        ch = -(-(h * comp["v"]) // vmax)
+        plane = plane[:ch, :cw]
+        ys = (np.arange(h, dtype=np.int64) * ch) // h
+        xs = (np.arange(w, dtype=np.int64) * cw) // w
+        out.append(plane[ys][:, xs] + 128.0)
+    if len(out) == 1:
+        gray = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb

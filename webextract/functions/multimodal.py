@@ -12,11 +12,12 @@ never exceptions):
   duration; AVI avih header → dims, frame count, duration) — plus a
   pure-Python PIXEL stage: PNG (IDAT zlib inflate → scanline unfilter →
   palette expand), BMP (raw 24/32-bpp), GIF (pure-Python GIF-LZW →
-  deinterlace → palette → canvas composite; first frame) and baseline
-  JPEG (:mod:`webextract.functions.jpeg`: Huffman entropy decode +
-  8×8 IDCT + YCbCr→RGB) decode to pixels and resample nearest-neighbor;
-  GIF frame-sampling counts real frames from the block walk.
-  Progressive JPEG remains a per-row error.
+  deinterlace → palette → canvas composite; first frame) and JPEG —
+  baseline AND progressive (:mod:`webextract.functions.jpeg`: Huffman
+  entropy decode, SOF2 multi-scan spectral/successive-approximation
+  accumulation, 8×8 IDCT, YCbCr→RGB) — decode to pixels and resample
+  nearest-neighbor; GIF frame-sampling counts real frames from the
+  block walk.
 
 Codec-speed seam: the pure-Python pixel decoders are deterministic and
 dependency-free but ~100× slower than native codecs (libjpeg-turbo,
@@ -755,13 +756,13 @@ def media_transform(media: DataFrame, op: str,
     ``md5(src_digest || ':' || op spec)`` — deterministic and exactly
     SQL-mirrorable, so the batching/partitioning/schema plumbing is
     oracle-checked end to end. ``backend="real"`` decodes actual pixels
-    for PNG/BMP/GIF/baseline-JPEG (zlib inflate + unfilter / raw rows /
-    pure-Python GIF-LZW with canvas composite / from-spec Huffman+IDCT,
-    first frame) and resamples nearest-neighbor — the digest is the md5
-    of the resized raw pixel bytes; ``frame_sample`` uses the real GIF
-    frame walk. Containers outside that set (and progressive JPEG)
-    surface as per-row errors, with the Spark-side plumbing identical
-    between backends.
+    for PNG/BMP/GIF/JPEG (zlib inflate + unfilter / raw rows /
+    pure-Python GIF-LZW with canvas composite / from-spec Huffman+IDCT
+    incl. progressive SOF2, first frame) and resamples nearest-neighbor
+    — the digest is the md5 of the resized raw pixel bytes;
+    ``frame_sample`` uses the real GIF frame walk. Containers outside
+    that set surface as per-row errors, with the Spark-side plumbing
+    identical between backends.
 
     ``decoder``: optional callable ``payload -> (w, h, channels,
     raw_pixels)`` replacing the pure-Python pixel stage — the
