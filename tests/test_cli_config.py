@@ -153,3 +153,53 @@ def test_cli_dedup_stages_custom_id_col(spark, tmp_path, capsys):
     assert sig_cols == ["page_id"] + [f"mh{k}" for k in range(8)]
     meta = spark.read.json(f"{stages}/stage_meta").collect()[0]
     assert (meta["n_hashes"], meta["band_size"]) == (8, 2)
+
+
+def test_cli_hygiene_ops(spark, tmp_path, capsys):
+    """CLI drive of the hygiene pass: pii-mask, decontaminate against a
+    benchmark parquet, and deterministic stratified sampling."""
+    from pyspark.sql import Row
+
+    from webextract.__main__ import main
+
+    secret = ("the capital of france is paris and the capital of spain "
+              "is madrid")
+    rows = [
+        Row(doc_id=1, lang="en",
+            text=f"reach me at jo@x.example.org please {secret}"),
+        Row(doc_id=2, lang="en", text="a clean document about nothing "
+                                      "in particular at all today"),
+        Row(doc_id=3, lang="de", text="noch ein sauberes dokument ohne "
+                                      "besondere merkmale heute hier"),
+    ]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(rows).write.parquet(docs_path)
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame([Row(text=secret)]).write.parquet(bench_path)
+
+    masked_out = str(tmp_path / "masked")
+    assert main(["hygiene", "--op", "pii-mask", "--input", docs_path,
+                 "--output", masked_out]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"op": "pii-mask", "rows_in": 3, "rows_out": 3}
+    masked = {r["doc_id"]: r for r in
+              spark.read.parquet(masked_out).collect()}
+    assert "<EMAIL>" in masked[1]["masked_text"]
+    assert masked[2]["has_pii"] is False
+
+    decon_out = str(tmp_path / "decon")
+    assert main(["hygiene", "--op", "decontaminate", "--input", docs_path,
+                 "--benchmark", bench_path, "--output", decon_out]) == 0
+    capsys.readouterr()
+    decon = {r["id"]: r for r in spark.read.parquet(decon_out).collect()}
+    assert decon[1]["contaminated"] is True
+    assert decon[2]["contaminated"] is False
+
+    samp_out = str(tmp_path / "sample")
+    assert main(["hygiene", "--op", "sample", "--input", docs_path,
+                 "--output", samp_out, "--strata-col", "lang",
+                 "--rate", "en=1.0", "--default-rate", "0.0"]) == 0
+    capsys.readouterr()
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.parquet(samp_out).collect())
+    assert kept == [1, 2]  # every en row, no de rows

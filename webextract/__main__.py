@@ -126,6 +126,35 @@ def main(argv: list[str] | None = None) -> int:
     curate.add_argument("--stages", default=None,
                         help="dedup-stages output dir: candidates/pairs "
                              "are consumed instead of recomputed")
+    hyg = sub.add_parser(
+        "hygiene",
+        help="corpus-hygiene pass: pii-mask | decontaminate | "
+             "paragraph-dedup | sample")
+    hyg.add_argument("--op", required=True,
+                     choices=("pii-mask", "decontaminate",
+                              "paragraph-dedup", "sample"))
+    hyg.add_argument("--input", required=True,
+                     help="documents parquet path")
+    hyg.add_argument("--output", required=True)
+    hyg.add_argument("--id-col", default="doc_id")
+    hyg.add_argument("--text-col", default="text")
+    hyg.add_argument("--benchmark", default=None,
+                     help="decontaminate: held-out eval-set parquet")
+    hyg.add_argument("--ngram", type=int, default=8,
+                     help="decontaminate: overlap n-gram width")
+    hyg.add_argument("--min-overlap", type=int, default=1)
+    hyg.add_argument("--max-occurrences", type=int, default=1,
+                     help="paragraph-dedup: keep paragraphs seen <= N "
+                          "times corpus-wide")
+    hyg.add_argument("--strata-col", default=None,
+                     help="sample: stratum column")
+    hyg.add_argument("--rate", action="append", default=[],
+                     metavar="VALUE=FRACTION",
+                     help="sample: per-stratum keep fraction (repeat)")
+    hyg.add_argument("--default-rate", type=float, default=0.0)
+    hyg.add_argument("--salt", default="ws1",
+                     help="sample: changing it draws an independent "
+                          "sample")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -146,6 +175,8 @@ def main(argv: list[str] | None = None) -> int:
                                  partition_by_date=args.partition_by_date)
     elif args.command == "dedup-stages":
         summary = _run_dedup_stages(spark, args)
+    elif args.command == "hygiene":
+        summary = _run_hygiene(spark, args)
     else:
         summary = _run_curate(spark, args)
     print(json.dumps(summary))
@@ -195,6 +226,52 @@ def _run_dedup_stages(spark, args) -> dict:
         "candidates": spark.read.parquet(f"{out}/candidates").count(),
         "pairs": spark.read.parquet(f"{out}/pairs").count(),
     }
+
+
+def _run_hygiene(spark, args) -> dict:
+    """One corpus-hygiene pass, documents parquet in → parquet out.
+    Each op is a thin CLI veneer over :mod:`webextract.functions`:
+    the plan properties (map-only PII/sampling, broadcast bench-gram
+    join, keyed paragraph-count exchanges) are the functions' own."""
+    docs = spark.read.parquet(args.input)
+    if args.op == "pii-mask":
+        from .functions.hygiene import with_pii_masked
+
+        out = with_pii_masked(docs, text_col=args.text_col)
+    elif args.op == "decontaminate":
+        if not args.benchmark:
+            raise SystemExit("--op decontaminate requires --benchmark")
+        from .functions.hygiene import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        out = decontaminate(docs, bench, id_col=args.id_col,
+                            text_col=args.text_col, n=args.ngram,
+                            min_overlap=args.min_overlap)
+    elif args.op == "paragraph-dedup":
+        from .functions.dedup import paragraph_dedup
+
+        out = paragraph_dedup(docs, id_col=args.id_col,
+                              text_col=args.text_col,
+                              max_occurrences=args.max_occurrences)
+    else:  # sample
+        if not args.strata_col:
+            raise SystemExit("--op sample requires --strata-col")
+        from .functions.hygiene import stratified_sample
+
+        rates = {}
+        for spec in args.rate:
+            value, _, frac = spec.partition("=")
+            if not frac:
+                raise SystemExit(f"bad --rate {spec!r}; want VALUE=FRAC")
+            rates[value] = float(frac)
+        out = stratified_sample(docs, rates, strata_col=args.strata_col,
+                                id_col=args.id_col,
+                                default_rate=args.default_rate,
+                                salt=args.salt)
+    out.write.mode("overwrite").parquet(args.output)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output).count()
+    return {"op": args.op, "rows_in": n_in, "rows_out": n_out}
 
 
 def _run_curate(spark, args) -> dict:
