@@ -457,6 +457,16 @@ def q_canonical_urls(spark, sf_dir):
         canonicalize_url(url).alias("canonical_url"))
 
 
+def q_token_budget(spark, sf_dir):
+    # budgeted mixture fill: per source, keep longest-first docs until
+    # 3000 tokens — one stratum exchange + in-partition running sum
+    from webextract.functions.hygiene import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir), budget_tokens=3000, strata_col="source",
+        priority_col="n_chars")
+
+
 def q_stratified_sample(spark, sf_dir):
     # deterministic mixture sampling: keep 50% of en, 25% of de, 10% of
     # everything else — salted-hash cutoffs, no rand(), rerun-identical
@@ -651,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "domain_stats": q_domain_stats,
         "canonical_urls": q_canonical_urls,
+        "token_budget": q_token_budget,
         "stratified_sample": q_stratified_sample,
         "events_confusion": q_events_confusion,
         "events_iou": q_events_iou,
@@ -1187,6 +1198,24 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "domain_stats": _domain_stats_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "token_budget": f"""
+            WITH t AS (SELECT doc_id, source, n_chars, {norm} AS norm
+                       FROM documents),
+            n AS (SELECT doc_id, source, n_chars,
+                         CAST(CASE WHEN length(norm) = 0 THEN 0
+                                   ELSE len(string_split(norm, ' ')) END
+                              AS BIGINT) AS n_tokens
+                  FROM t),
+            c AS (SELECT doc_id AS id, source AS stratum, n_tokens,
+                         SUM(n_tokens) OVER (
+                             PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id ASC)
+                             AS cum_tokens
+                  FROM n)
+            SELECT id, stratum, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= 3000
+        """,
         "stratified_sample": _stratified_sample_sql(),
         "events_confusion": """
             SELECT CASE WHEN value + (event_id % 20) - 10 >= 50

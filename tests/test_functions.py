@@ -1402,3 +1402,28 @@ def test_canonicalize_url_pins(spark):
         "u", canonicalize_url(F.col("u")).alias("c")).collect()}
     for raw, want in cases.items():
         assert out[raw] == want, (raw, out[raw], want)
+
+
+def test_token_budget_sample(spark):
+    from webextract.functions.hygiene import token_budget_sample
+
+    rows = [
+        # stratum a: priorities 9,8,7 with 3,3,3 tokens; budget 7 keeps
+        # the top two (cum 3,6) and drops the third (cum 9)
+        Row(doc_id=1, src="a", prio=9, text="one two three"),
+        Row(doc_id=2, src="a", prio=8, text="four five six"),
+        Row(doc_id=3, src="a", prio=7, text="seven eight nine"),
+        # stratum b: a single doc larger than the budget -> dropped
+        Row(doc_id=4, src="b", prio=5,
+            text="a b c d e f g h i j k l m n o p"),
+        # tie on priority resolved by id asc (deterministic)
+        Row(doc_id=5, src="c", prio=1, text="x y"),
+        Row(doc_id=6, src="c", prio=1, text="p q r s t u v"),
+    ]
+    out = {r["id"]: r for r in token_budget_sample(
+        spark.createDataFrame(rows), budget_tokens=7, strata_col="src",
+        priority_col="prio").collect()}
+    assert sorted(out) == [1, 2, 5]
+    assert out[2]["cum_tokens"] == 6
+    assert out[5]["cum_tokens"] == 2  # id 5 fills first on the tie
+    assert 4 not in out  # boundary doc never partially included

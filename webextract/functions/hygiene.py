@@ -223,6 +223,48 @@ def canonicalize_url(url: Column) -> Column:
 # deterministic (stratified) sampling
 # ---------------------------------------------------------------------------
 
+def token_budget_sample(docs: DataFrame, budget_tokens: int,
+                        strata_col: str, priority_col: str,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Budgeted mixture fill: keep documents per stratum in priority
+    order until the stratum's cumulative token count would exceed
+    ``budget_tokens`` — how a training-mix recipe ("15B tokens of
+    source X, best-quality first") is actually materialized.
+
+    Returns (id, stratum, n_tokens, cum_tokens) for every kept doc.
+    Deterministic: the order is (priority desc, id asc), so ties never
+    depend on partitioning. The boundary doc that would cross the
+    budget is dropped (cum_tokens <= budget holds for every output).
+
+    Plan: one hash exchange on the stratum + an in-partition sort for
+    the running sum — exact and fine while each stratum fits a
+    partition's sort spill. At 10^12 docs with a handful of strata the
+    per-stratum sort is the bottleneck; the scale path is two-phase:
+    approximate the priority cutoff with ``percentile_approx`` on the
+    token-weighted priority distribution, filter to ~budget, and run
+    this exact pass on the (now small) boundary slice.
+    """
+    from pyspark.sql import Window
+
+    from webextract.functions.text import norm_text, token_count
+
+    n_tok = token_count(norm_text(text_col))
+    return (
+        docs.select(F.col(id_col).alias("id"),
+                    F.col(strata_col).alias("stratum"),
+                    F.col(priority_col),
+                    n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens",
+                    F.sum("n_tokens").over(
+                        Window.partitionBy("stratum")
+                        .orderBy(F.col(priority_col).desc(),
+                                 F.col("id").asc())))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("id", "stratum", "n_tokens", "cum_tokens")
+    )
+
+
 _SAMPLE_MOD = 1_000_000
 
 
