@@ -457,6 +457,20 @@ def q_canonical_urls(spark, sf_dir):
         canonicalize_url(url).alias("canonical_url"))
 
 
+def q_lm_familiarity(spark, sf_dir):
+    # CCNet-style statistical-LM quality signal: bigram model counted
+    # over every 3rd doc (the "trusted reference corpus"), every doc
+    # scored by bigram coverage + mean model count — integer-exact by
+    # construction (see functions/hygiene.py)
+    from webextract.functions.hygiene import (
+        lm_bigram_model, with_lm_familiarity,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    model = lm_bigram_model(docs.filter(F.col("doc_id") % 3 == 0))
+    return with_lm_familiarity(docs, model)
+
+
 def q_token_budget(spark, sf_dir):
     # budgeted mixture fill: per source, keep longest-first docs until
     # 3000 tokens — one stratum exchange + in-partition running sum
@@ -661,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "domain_stats": q_domain_stats,
         "canonical_urls": q_canonical_urls,
+        "lm_familiarity": q_lm_familiarity,
         "token_budget": q_token_budget,
         "stratified_sample": q_stratified_sample,
         "events_confusion": q_events_confusion,
@@ -948,6 +963,40 @@ def _canonical_urls_sql() -> str:
     """
 
 
+_GRAMS2_SQL = """CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                               i -> array_to_string(toks[i:i+1], ' '))
+           ELSE [] END"""
+
+
+def _lm_familiarity_sql() -> str:
+    h = _H60.format(x="g")
+    return f"""
+        WITH nd AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        dt AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+        mg AS (SELECT {h} AS bg, COUNT(*) AS c
+               FROM (SELECT unnest({_GRAMS2_SQL}) AS g FROM dt
+                     WHERE doc_id % 3 = 0) u
+               GROUP BY 1),
+        dg AS (SELECT doc_id, {h} AS bg
+               FROM (SELECT doc_id, unnest({_GRAMS2_SQL}) AS g
+                     FROM dt) u),
+        sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(c) AS n_known,
+                      CAST(COALESCE(SUM(c), 0) AS BIGINT) AS csum
+               FROM dg LEFT JOIN mg USING (bg) GROUP BY 1)
+        SELECT d.doc_id AS id,
+               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(s.n_known, 0) AS BIGINT) AS n_known,
+               CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+                    THEN ROUND(s.n_known / s.n_bigrams, 6)
+                    ELSE 0.0 END AS known_rate,
+               CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+                    THEN ROUND(s.csum / s.n_bigrams, 6)
+                    ELSE 0.0 END AS avg_count
+        FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+    """
+
+
 def _stratified_sample_sql() -> str:
     h = _H60.format(x="'ws1:' || CAST(doc_id AS VARCHAR)")
     return f"""
@@ -1198,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "domain_stats": _domain_stats_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "lm_familiarity": _lm_familiarity_sql(),
         "token_budget": f"""
             WITH t AS (SELECT doc_id, source, n_chars, {norm} AS norm
                        FROM documents),

@@ -68,7 +68,7 @@ HEADLINE = [
     "knn_cosine", "near_dup_embeddings_lsh",
     "lang_id", "quality_scores", "quality_scores_multilang",
     "pii_mask", "decontaminate", "domain_stats", "canonical_urls",
-    "token_budget", "stratified_sample",
+    "token_budget", "lm_familiarity", "stratified_sample",
     "token_counts_by_source",
     "token_stats", "winnow_fingerprints",
     "events_confusion", "events_windowed",

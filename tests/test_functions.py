@@ -1427,3 +1427,30 @@ def test_token_budget_sample(spark):
     assert out[2]["cum_tokens"] == 6
     assert out[5]["cum_tokens"] == 2  # id 5 fills first on the tie
     assert 4 not in out  # boundary doc never partially included
+
+
+def test_lm_familiarity_scores(spark):
+    from webextract.functions.hygiene import (
+        lm_bigram_model, with_lm_familiarity,
+    )
+
+    ref = spark.createDataFrame([
+        Row(doc_id=1, text="the cat sat on the mat"),
+        Row(doc_id=2, text="the dog sat on the rug"),
+    ])
+    model = lm_bigram_model(ref)
+    # "sat on" and "on the" occur in both ref docs -> count 2
+    counts = {r["bg"]: r["c"] for r in model.collect()}
+    assert sorted(counts.values(), reverse=True)[:3] == [2, 2, 1]
+    probe = spark.createDataFrame([
+        Row(doc_id=10, text="the cat sat on the rug"),   # all known
+        Row(doc_id=11, text="zx qv plk mnb vvw"),        # gibberish
+        Row(doc_id=12, text="one"),                      # no bigrams
+    ])
+    out = {r["id"]: r for r in
+           with_lm_familiarity(probe, model).collect()}
+    assert out[10]["known_rate"] == 1.0
+    assert out[10]["avg_count"] > 1.0   # hits the count-2 bigrams
+    assert out[11]["known_rate"] == 0.0
+    assert out[12]["n_bigrams"] == 0 and out[12]["known_rate"] == 0.0
+    assert out[10]["known_rate"] > out[11]["known_rate"]

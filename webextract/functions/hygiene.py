@@ -223,6 +223,65 @@ def canonicalize_url(url: Column) -> Column:
 # deterministic (stratified) sampling
 # ---------------------------------------------------------------------------
 
+def lm_bigram_model(ref_docs: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """(bg: bigram hash60, c: corpus count) — the counting half of a
+    word-bigram language model over a reference corpus (the CCNet role
+    of the KenLM model: score crawl text by how familiar it looks
+    against a trusted corpus). One explode + hash aggregation with
+    map-side combine; the exchange moves 8-byte hashes."""
+    norm = norm_text(text_col)
+    return (
+        ref_docs.select(F.explode(_gram_hashes(norm, 2)).alias("bg"))
+        .groupBy("bg").agg(F.count("*").alias("c"))
+    )
+
+
+def with_lm_familiarity(docs: DataFrame, model: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Score documents against a :func:`lm_bigram_model`: per doc,
+    ``n_bigrams``, ``n_known`` (bigrams the model has seen),
+    ``known_rate`` and ``avg_count`` (mean model count over the doc's
+    bigrams, unseen = 0) — gibberish/spam scores near 0, text that
+    resembles the reference corpus scores high.
+
+    Deliberately integer-exact instead of log-perplexity: float
+    log-prob sums depend on summation order and libm rounding, so they
+    cannot be value-hash-mirrored across engines; integer count sums
+    with one final division are exact everywhere and carry the same
+    ranking signal. Plan: explode doc bigrams (hashes), join the model
+    (broadcast when small, hash join at corpus scale — never hinted),
+    one per-doc aggregation, left join back so unscored docs (no
+    bigrams) keep zeros.
+    """
+    norm = norm_text(text_col)
+    grams = docs.select(F.col(id_col).alias("id"),
+                        F.explode(_gram_hashes(norm, 2)).alias("bg"))
+    scored = (
+        grams.join(model, "bg", "left")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.count("c").alias("n_known"),
+             F.coalesce(F.sum("c"), F.lit(0)).alias("_csum"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_known", F.lit(0)).alias("n_known"),
+            F.round(F.when(F.col("n_bigrams") > 0,
+                           F.col("n_known") / F.col("n_bigrams"))
+                    .otherwise(F.lit(0.0)), 6).alias("known_rate"),
+            F.round(F.when(F.col("n_bigrams") > 0,
+                           F.col("_csum") / F.col("n_bigrams"))
+                    .otherwise(F.lit(0.0)), 6).alias("avg_count"),
+        )
+    )
+
+
 def token_budget_sample(docs: DataFrame, budget_tokens: int,
                         strata_col: str, priority_col: str,
                         id_col: str = "doc_id",
