@@ -1,0 +1,122 @@
+"""WARC ingestion source: hand-built ISO-28500 fixtures (plain and
+member-gzipped), record-type filtering, HTTP deframing, truncation and
+bomb-guard behavior, and the end-to-end hop into the extractor."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+import pytest
+
+from webextract.warc import (
+    parse_warc_records, read_warc, read_warc_pages,
+)
+
+
+def _record(rtype: str, uri: str | None, content: bytes,
+            date: str = "2024-02-03T04:05:06Z",
+            ctype: str = "application/http; msgtype=response") -> bytes:
+    headers = ["WARC/1.0", f"WARC-Type: {rtype}"]
+    if uri:
+        headers.append(f"WARC-Target-URI: {uri}")
+    headers += [f"WARC-Date: {date}", f"Content-Type: {ctype}",
+                f"Content-Length: {len(content)}"]
+    return ("\r\n".join(headers) + "\r\n\r\n").encode() + content + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype: str = "text/html; charset=utf-8") -> bytes:
+    return (f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+
+HTML_A = b"<html><body><p>alpha page body text</p></body></html>"
+HTML_B = b"<html><body><p>beta page body text</p></body></html>"
+
+
+def _warc_bytes() -> bytes:
+    return (
+        _record("warcinfo", None, b"software: test\r\n",
+                ctype="application/warc-fields")
+        + _record("request", "https://a.test/1",
+                  b"GET /1 HTTP/1.1\r\n\r\n",
+                  ctype="application/http; msgtype=request")
+        + _record("response", "https://a.test/1", _http(HTML_A))
+        + _record("conversion", "https://a.test/2", HTML_B,
+                  ctype="text/html")
+    )
+
+
+def test_parse_plain_and_member_gzip():
+    plain = _warc_bytes()
+    rows = parse_warc_records(plain)
+    assert [r["warc_type"] for r in rows] == ["response", "conversion"]
+    assert rows[0]["url"] == "https://a.test/1"
+    assert rows[0]["html"] == HTML_A  # HTTP frame stripped
+    assert rows[0]["content_type"] == "text/html; charset=utf-8"
+    assert rows[0]["warc_ts"] == dt.datetime(2024, 2, 3, 4, 5, 6)
+    assert rows[1]["html"] == HTML_B  # conversion kept verbatim
+
+    # Common-Crawl style: every record its own gzip member, concatenated
+    members = b"".join(
+        gzip.compress(part) for part in (
+            _record("response", "https://a.test/1", _http(HTML_A)),
+            _record("conversion", "https://a.test/2", HTML_B,
+                    ctype="text/html"),
+        ))
+    grows = parse_warc_records(members)
+    assert [(r["url"], r["html"]) for r in grows] \
+        == [(r["url"], r["html"]) for r in rows]
+
+
+def test_truncation_and_bomb_guard():
+    data = _warc_bytes()
+    # a truncated tail loses only the tail record
+    cut = data[: data.rfind(b"WARC/1.0") + 40]
+    rows = parse_warc_records(cut)
+    assert [r["warc_type"] for r in rows] == ["response"]
+    # bounded inflate: a highly compressible stream over the cap raises
+    bomb = gzip.compress(b"\x00" * (1 << 20))
+    with pytest.raises(ValueError, match="max_bytes"):
+        parse_warc_records(bomb, max_bytes=1 << 16)
+
+
+def test_read_warc_to_extraction(spark, tmp_path):
+    from webextract.pipeline import extract_dataframe, ship_package
+
+    ship_package(spark)
+    (tmp_path / "a.warc").write_bytes(_warc_bytes())
+    (tmp_path / "b.warc.gz").write_bytes(b"".join(
+        gzip.compress(part) for part in (
+            _record("response", "https://b.test/9",
+                    _http(b"<html><body><p>gamma body</p></body></html>")),
+        )))
+    warc = read_warc(spark, str(tmp_path))
+    assert warc.count() == 3
+    assert set(r["source_file"].rsplit("/", 1)[-1]
+               for r in warc.select("source_file").collect()) \
+        == {"a.warc", "b.warc.gz"}
+    pages = read_warc_pages(spark, str(tmp_path))
+    out = {r["url"]: r["extracted_text"]
+           for r in extract_dataframe(pages).collect()}
+    assert out["https://a.test/1"] == "alpha page body text"
+    assert out["https://a.test/2"] == "beta page body text"
+    assert out["https://b.test/9"] == "gamma body"
+
+
+def test_cli_extract_from_warc(spark, tmp_path, capsys):
+    import json
+
+    from webextract.__main__ import main
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "c.warc").write_bytes(_warc_bytes())
+    assert main(["extract", "--input", str(tmp_path / "in"),
+                 "--input-format", "warc",
+                 "--output", str(tmp_path / "out"),
+                 "--partitions", "2"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_written"] == 2
+    out = {r["url"]: r["extracted_text"]
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out["https://a.test/1"] == "alpha page body text"

@@ -61,7 +61,12 @@ def load_config(path: str | None) -> ExtractConfig:
 
 def _add_extract_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input", required=True,
-                   help="pages parquet path or table name")
+                   help="pages parquet path or table name (or a WARC "
+                        "directory/glob with --input-format warc)")
+    p.add_argument("--input-format", choices=("pages", "warc"),
+                   default="pages",
+                   help="'warc' parses raw (member-gzipped) WARC files "
+                        "into pages rows before extraction")
     p.add_argument("--output", required=True, help="extracted sink path")
     p.add_argument("--metrics", default=None,
                    help="lineage/metrics sink path")
@@ -168,7 +173,12 @@ def main(argv: list[str] | None = None) -> int:
                                scan_mode=args.scan_mode,
                                sink_format=args.sink_format,
                                sink_is_table=args.sink_table)
-        pages = read_pages(spark, args.input)
+        if args.input_format == "warc":
+            from .warc import read_warc_pages
+
+            pages = read_warc_pages(spark, args.input)
+        else:
+            pages = read_pages(spark, args.input)
         summary = run_extraction(spark, pages, args.output,
                                  metrics_path=args.metrics, cfg=cfg,
                                  opts=opts, run_id=args.run_id,

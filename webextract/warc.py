@@ -1,0 +1,183 @@
+"""WARC ingestion source: raw Common-Crawl-style archive files → the
+engine's pages table (url, warc_ts, html bytes).
+
+This closes the front of the pipeline: production corpora arrive as
+WARC (ISO 28500) — per-record gzip members concatenated into ~1 GiB
+files, 10^4–10^5 files per crawl — and everything downstream here
+(extraction, dedup, curation) consumes the pages table this module
+emits. The reference's analog is its filesystem image loader
+(``utils/input_utils.py``, ``data/dataset.py:72-73``); the web-native
+equivalent of "a directory of images" is "a directory of WARCs".
+
+Plan shape: one Spark task per WARC file via the ``binaryFile`` source
+(Common Crawl's file count gives ample parallelism at 10^4+ files per
+crawl; individual files are never split — gzip members are not seekable
+without an index), record parsing inside ``mapInPandas`` so bytes flow
+through Arrow once. Per-file decompression is BOUNDED (``max_bytes``)
+before any allocation growth: a crafted 1000:1 deflate bomb cannot
+balloon an executor (same stance as the PNG/GIF pixel guards).
+
+Scope: WARC/1.0 and 1.1; ``response`` records carrying HTTP payloads
+(status line + headers stripped, body kept raw for the pipeline's own
+charset decoding) and ``conversion`` records (WET-style, body kept
+verbatim); ``request``/``metadata``/``warcinfo`` records are skipped.
+Both plain and member-gzipped files are handled (magic-sniffed).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import zlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType, StringType, StructField, StructType, TimestampType,
+)
+
+WARC_SCHEMA = StructType([
+    StructField("url", StringType(), True),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("warc_type", StringType(), True),
+    StructField("content_type", StringType(), True),  # from HTTP headers
+    StructField("html", BinaryType(), True),          # raw body bytes
+    StructField("source_file", StringType(), True),
+])
+
+
+def _gunzip_bounded(data: bytes, max_bytes: int) -> bytes:
+    """Inflate a (possibly multi-member) gzip stream with a hard output
+    cap — member-gzipped WARCs are plain concatenated members, which
+    ``zlib.decompressobj`` walks via ``unused_data``."""
+    out = io.BytesIO()
+    total = 0
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        chunk = d.decompress(rest, max_bytes - total + 1)
+        total += len(chunk)
+        if total > max_bytes:
+            raise ValueError("WARC gzip stream exceeds max_bytes cap")
+        out.write(chunk)
+        if not d.eof:   # truncated member
+            break
+        rest = d.unused_data
+    return out.getvalue()
+
+
+def _parse_warc_date(value: str) -> dt.datetime | None:
+    try:
+        return dt.datetime.strptime(value.strip(), "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        try:
+            parsed = dt.datetime.fromisoformat(
+                value.strip().replace("Z", "+00:00"))
+            return parsed.replace(tzinfo=None)
+        except ValueError:
+            return None
+
+
+def _split_http_body(content: bytes) -> tuple[bytes, str | None]:
+    """Strip the HTTP status line + headers from a response record's
+    content; returns (body, content-type header value or None)."""
+    sep = content.find(b"\r\n\r\n")
+    if sep < 0 or content[:5] != b"HTTP/":
+        return content, None   # not framed as HTTP: keep verbatim
+    headers = content[:sep].decode("latin-1", "replace")
+    ctype = None
+    for line in headers.split("\r\n")[1:]:
+        name, _, val = line.partition(":")
+        if name.strip().lower() == "content-type":
+            ctype = val.strip()
+            break
+    return content[sep + 4:], ctype
+
+
+def parse_warc_records(data: bytes, source_file: str = "",
+                       max_bytes: int = 1 << 30) -> list[dict]:
+    """Walk one WARC file's bytes → list of WARC_SCHEMA row dicts.
+    Structural damage stops the walk at the last good record (a
+    truncated tail loses only that tail, never earlier records)."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_bounded(data, max_bytes)
+    rows: list[dict] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        lines = data[pos:hdr_end].decode("latin-1", "replace").split("\r\n")
+        for line in lines[1:]:
+            name, _, val = line.partition(":")
+            headers[name.strip().lower()] = val.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            break   # truncated record
+        content = data[body_start:body_start + length]
+        pos = body_start + length
+        rtype = headers.get("warc-type", "")
+        if rtype == "response":
+            body, ctype = _split_http_body(content)
+        elif rtype == "conversion":
+            body, ctype = content, headers.get("content-type")
+        else:
+            continue   # request / metadata / warcinfo / revisit
+        rows.append({
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "warc_type": rtype,
+            "content_type": ctype,
+            "html": body,
+            "source_file": source_file,
+        })
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str,
+              max_bytes: int = 1 << 30) -> DataFrame:
+    """Directory/glob of WARC files → DataFrame(WARC_SCHEMA).
+
+    One task per file (``binaryFile`` never splits); parsing runs in
+    ``mapInPandas`` so record bytes cross into the JVM once, as Arrow
+    batches. ``max_bytes`` caps per-file decompression (bomb guard).
+    """
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def parse_batches(batches):
+        for batch in batches:
+            rows: list[dict] = []
+            for fpath, content in zip(batch["path"], batch["content"]):
+                rows.extend(parse_warc_records(
+                    bytes(content), source_file=fpath,
+                    max_bytes=max_bytes))
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in WARC_SCHEMA.fields])
+
+    return files.mapInPandas(parse_batches, WARC_SCHEMA)
+
+
+def read_warc_pages(spark: SparkSession, path: str,
+                    max_bytes: int = 1 << 30) -> DataFrame:
+    """WARC files → the pipeline's pages contract (url, warc_ts, html):
+    response + conversion records with a target URI, ready for
+    ``pipeline.run_extraction`` / ``extract_dataframe``."""
+    from pyspark.sql import functions as F
+
+    return (read_warc(spark, path, max_bytes=max_bytes)
+            .filter(F.col("url").isNotNull())
+            .select("url", "warc_ts", "html"))
