@@ -910,7 +910,7 @@ _URL_DOCS_SQL = """SELECT doc_id, text,
 
 
 def _domain_stats_sql() -> str:
-    host = r"'^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)'"
+    host = r"'^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)'"
     return f"""
         WITH d AS ({_URL_DOCS_SQL}),
         h AS (SELECT lower(regexp_extract(url, {host}, 1)) AS domain, text
@@ -1155,8 +1155,12 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT h, COUNT(*) AS n_occ FROM p GROUP BY 1),
             k AS (SELECT p.*, c.n_occ <= 3 AS keep FROM p JOIN c USING (h))
             SELECT doc_id,
-                   array_to_string(list(pnorm ORDER BY pos)
-                                   FILTER (WHERE keep), chr(10))
+                   -- COALESCE: zero kept rows aggregate to NULL here,
+                   -- while Spark's collect_list gives [] -> '' (the
+                   -- documented all-boilerplate case)
+                   COALESCE(array_to_string(list(pnorm ORDER BY pos)
+                                            FILTER (WHERE keep),
+                                            chr(10)), '')
                      AS kept_text,
                    COUNT(*) AS n_paras,
                    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)

@@ -1215,16 +1215,21 @@ def test_domain_stats_and_blocklist(spark):
 
     docs = spark.createDataFrame([
         Row(doc_id=1, url="https://News.Example.com/a", text="xx"),
-        Row(doc_id=2, url="https://news.example.com/b?q=1", text="yyy"),
+        Row(doc_id=2, url="https://news.example.com:8443/b?q=1",
+            text="yyy"),
         Row(doc_id=3, url="http://spam.seofarm.net/z", text="zz"),
         Row(doc_id=4, url="not a url", text="w"),
+        Row(doc_id=5, url="http://bot@spam.seofarm.net:8080/q",
+            text="vv"),
     ])
     stats = {r["domain"]: r for r in domain_stats(docs).collect()}
-    assert stats["news.example.com"]["n_docs"] == 2  # case-folded
+    # case-folded; port stripped, so :8443 joins the bare-host bucket
+    assert stats["news.example.com"]["n_docs"] == 2
     assert stats["news.example.com"]["total_chars"] == 5
     assert stats[""]["n_docs"] == 1  # unparseable -> '' bucket
     blocked = spark.createDataFrame([Row(domain="spam.seofarm.net")])
     kept = filter_blocklist(docs, blocked)
+    # the port/userinfo variants of the blocked host are dropped too
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 4]
     assert "_domain" not in kept.columns
 

@@ -255,3 +255,28 @@ def test_keep_alive_connection_reuse(server):
         assert resp.will_close is True  # unread body -> server closes
     finally:
         conn.close()
+
+
+def test_idle_keep_alive_connection_is_closed(tmp_path):
+    # a persistent connection that goes idle must not pin its handler
+    # thread forever: the per-connection read timeout closes it
+    import http.client
+    import time
+
+    srv = ExtractServer(spool_dir=str(tmp_path / "spool2"),
+                        idle_timeout=0.5)
+    srv.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=10)
+        conn.request("POST", "/extract", body=b"<p>hello idle</p>",
+                     headers={"X-Url": "u://idle/1"})
+        resp = conn.getresponse()
+        assert resp.status == 200 and resp.read()
+        sock = conn.sock
+        time.sleep(1.5)  # > idle_timeout: server should drop us
+        sock.settimeout(5)
+        assert sock.recv(64) == b""  # orderly close, thread released
+        conn.close()
+    finally:
+        srv.close()

@@ -54,7 +54,8 @@ def test_parse_plain_and_member_gzip():
     assert rows[0]["url"] == "https://a.test/1"
     assert rows[0]["html"] == HTML_A  # HTTP frame stripped
     assert rows[0]["content_type"] == "text/html; charset=utf-8"
-    assert rows[0]["warc_ts"] == dt.datetime(2024, 2, 3, 4, 5, 6)
+    assert rows[0]["warc_ts"] == dt.datetime(2024, 2, 3, 4, 5, 6,
+                                             tzinfo=dt.timezone.utc)
     assert rows[1]["html"] == HTML_B  # conversion kept verbatim
 
     # Common-Crawl style: every record its own gzip member, concatenated
@@ -120,3 +121,25 @@ def test_cli_extract_from_warc(spark, tmp_path, capsys):
     out = {r["url"]: r["extracted_text"]
            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert out["https://a.test/1"] == "alpha page body text"
+
+
+def test_warc_ts_is_utc_instant_regardless_of_session_tz(spark, tmp_path):
+    from webextract.warc import _parse_warc_date
+
+    # non-Z offsets convert (not drop): +02:00 noon == 10:00Z
+    assert _parse_warc_date("2026-08-17T12:00:00+02:00") \
+        == dt.datetime(2026, 8, 17, 10, 0, 0, tzinfo=dt.timezone.utc)
+    (tmp_path / "t.warc").write_bytes(
+        _record("response", "https://t.test/1", _http(HTML_A)))
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        epoch_ny = read_warc(spark, str(tmp_path)) \
+            .selectExpr("unix_timestamp(warc_ts) AS e").collect()[0]["e"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    epoch_utc = read_warc(spark, str(tmp_path)) \
+        .selectExpr("unix_timestamp(warc_ts) AS e").collect()[0]["e"]
+    want = int(dt.datetime(2024, 2, 3, 4, 5, 6,
+                           tzinfo=dt.timezone.utc).timestamp())
+    assert epoch_ny == epoch_utc == want

@@ -77,16 +77,12 @@ def with_pii_masked(docs: DataFrame, text_col: str = "text",
 
 def _gram_hashes(norm: Column, n: int) -> Column:
     """array<bigint> of hash60'd word n-grams of normalized text (empty
-    when shorter than n words) — sequence/slice/array_join inside
-    codegen, the same shape as dedup.shingles but parameterized n."""
-    toks = F.split(norm, " ")
-    cnt = F.size(toks)
-    return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - (n - 1)),
-            lambda i: hash60(F.array_join(F.slice(toks, i, n), " "))),
-    ).otherwise(F.array().cast("array<bigint>"))
+    when shorter than n words): :func:`dedup.shingles` at width ``n``
+    with each gram hashed — one gram-construction implementation, so
+    the oracle-mirrored slice/sequence arithmetic cannot drift."""
+    from webextract.functions.dedup import shingles
+
+    return F.transform(shingles(norm, n), hash60)
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
@@ -137,13 +133,18 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 # domain statistics + blocklist filtering
 # ---------------------------------------------------------------------------
 
-_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
+# host = authority minus optional userinfo@ prefix and :port suffix —
+# otherwise 'spam.example.net:8080' or 'user@spam.example.net' would
+# slip past a blocklist entry for the bare host
+_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 
 
 def domain_of(url: Column) -> Column:
-    """Registrable host of a URL ('' when not parseable) — one
-    regexp_extract, identical under Java regex and RE2 (DuckDB's
-    regexp_extract(col, pattern, 1) mirrors group capture)."""
+    """Registrable host of a URL ('' when not parseable): the authority
+    with userinfo and port stripped, case-folded. One regexp_extract,
+    identical under Java regex and RE2 (DuckDB's
+    regexp_extract(col, pattern, 1) mirrors group capture; ``(?:...)``
+    non-capturing groups exist in both)."""
     return F.lower(F.regexp_extract(url, _HOST_PATTERN, 1))
 
 

@@ -182,6 +182,21 @@ _SNIFFERS = (
 )
 
 
+# sanity caps for untrusted container-header values: anything beyond
+# these is a corrupt/crafted file, rejected as a per-row error BEFORE
+# the value can overflow an IntegerType column (which would fail the
+# whole Arrow batch, violating the per-row-error contract)
+_MAX_DIM = 1 << 20            # 1M px per side
+_MAX_SAMPLE_RATE = 10_000_000
+_MAX_FRAMES = (1 << 31) - 1
+
+
+def _sane(value: int, cap: int, what: str) -> int:
+    if value > cap:
+        raise ValueError(f"implausible {what} {value} in media header")
+    return value
+
+
 def _wav_info(b: bytes) -> tuple[dict, int, int, int]:
     """RIFF/WAVE header walk → ((sample_rate, n_samples, duration_ms,
     n_channels fields), data_offset, data_size, block_align). Header-only
@@ -206,6 +221,7 @@ def _wav_info(b: bytes) -> tuple[dict, int, int, int]:
     nch, rate, balign = fmt
     if rate <= 0 or balign <= 0:
         raise ValueError("WAV invalid sample rate / block align")
+    _sane(rate, _MAX_SAMPLE_RATE, "sample rate")
     data_size = min(data_size, len(b) - data_off)  # truncated payloads
     n_samples = data_size // balign
     info = {"sample_rate": rate, "n_samples": n_samples,
@@ -233,8 +249,10 @@ def _avi_info(b: bytes) -> dict:
                     us_per_frame = struct.unpack_from("<I", b, d)[0]
                     n_frames = struct.unpack_from("<I", b, d + 16)[0]
                     w, h = struct.unpack_from("<II", b, d + 32)
-                    return {"width": w, "height": h,
-                            "n_frames": max(n_frames, 1),
+                    return {"width": _sane(w, _MAX_DIM, "width"),
+                            "height": _sane(h, _MAX_DIM, "height"),
+                            "n_frames": _sane(max(n_frames, 1),
+                                              _MAX_FRAMES, "frame count"),
                             "duration_ms":
                                 n_frames * us_per_frame // 1000}
                 inner += 8 + isize + (isize & 1)
@@ -347,14 +365,16 @@ def _mp4_info(b: bytes) -> dict:
         if woff + 8 <= tend:
             wfx, hfx = struct.unpack_from(">II", b, woff)
             if wfx and hfx:
-                out["width"], out["height"] = wfx >> 16, hfx >> 16
+                out["width"] = _sane(wfx >> 16, _MAX_DIM, "width")
+                out["height"] = _sane(hfx >> 16, _MAX_DIM, "height")
     st = _mp4_find(b, 0, len(b),
                    (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stsz"))
     if st is not None:
         slo, send = st
         if slo + 12 <= send:
-            out["n_frames"] = max(
-                struct.unpack_from(">I", b, slo + 8)[0], 1)
+            out["n_frames"] = _sane(
+                max(struct.unpack_from(">I", b, slo + 8)[0], 1),
+                _MAX_FRAMES, "frame count")
     return out
 
 
@@ -619,7 +639,10 @@ def _gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             palette = lct or gct
             if not palette:
                 raise ValueError("GIF frame without a color table")
-            if fw * fh > _MAX_PIXEL_BYTES or ls_w * ls_h > _MAX_PIXEL_BYTES:
+            # byte budget, not pixel count: the canvas/frame buffers are
+            # 3 bytes/px RGB (same accounting as the PNG w*h*nch guard)
+            if 3 * fw * fh > _MAX_PIXEL_BYTES \
+                    or 3 * ls_w * ls_h > _MAX_PIXEL_BYTES:
                 raise ValueError("GIF frame too large")
             min_code = b[pos]
             pos += 1

@@ -162,6 +162,7 @@ class ExtractServer:
                  max_pending: int = 64, spool_dir: str | None = None,
                  flush_every: int = 64, flush_bytes: int = 64 << 20,
                  max_body_bytes: int = 32 * 1024 * 1024,
+                 idle_timeout: float = 30.0,
                  configs: dict[str, ExtractConfig] | None = None) -> None:
         # named config registry + runtime hot-swap (the reference swaps
         # models by name at runtime, api/flask_app.py:76-110): the active
@@ -171,6 +172,7 @@ class ExtractServer:
         self._active = "default"
         self._cfg_lock = threading.Lock()
         self.max_body_bytes = max_body_bytes
+        self.idle_timeout = idle_timeout
         self.metrics = _Metrics()
         self.spool = _Spool(spool_dir, flush_every, flush_bytes)
         self._admission = threading.BoundedSemaphore(max_pending)
@@ -236,6 +238,10 @@ class ExtractServer:
             # sidecar reuses one connection instead of paying a TCP
             # handshake per document
             protocol_version = "HTTP/1.1"
+            # idle persistent connections must not pin handler threads
+            # forever (slowloris / gone-away clients): a read that
+            # stalls this long closes the connection
+            timeout = server.idle_timeout
 
             def log_message(self, *a):  # quiet test output
                 pass

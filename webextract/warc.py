@@ -68,15 +68,23 @@ def _gunzip_bounded(data: bytes, max_bytes: int) -> bytes:
 
 
 def _parse_warc_date(value: str) -> dt.datetime | None:
+    """WARC-Date → tz-AWARE UTC datetime: non-Z offsets are converted
+    (not dropped), and the tzinfo survives into the Arrow batch so the
+    stored instant is machine-independent (a naive datetime would be
+    re-interpreted in whatever spark.sql.session.timeZone the ingesting
+    cluster happens to run)."""
     try:
-        return dt.datetime.strptime(value.strip(), "%Y-%m-%dT%H:%M:%SZ")
+        parsed = dt.datetime.strptime(value.strip(), "%Y-%m-%dT%H:%M:%SZ")
+        return parsed.replace(tzinfo=dt.timezone.utc)
     except ValueError:
         try:
             parsed = dt.datetime.fromisoformat(
                 value.strip().replace("Z", "+00:00"))
-            return parsed.replace(tzinfo=None)
         except ValueError:
             return None
+        if parsed.tzinfo is None:
+            return parsed.replace(tzinfo=dt.timezone.utc)
+        return parsed.astimezone(dt.timezone.utc)
 
 
 def _split_http_body(content: bytes) -> tuple[bytes, str | None]:
@@ -165,8 +173,12 @@ def read_warc(spark: SparkSession, path: str,
                 rows.extend(parse_warc_records(
                     bytes(content), source_file=fpath,
                     max_bytes=max_bytes))
-            yield pd.DataFrame.from_records(
+            pdf = pd.DataFrame.from_records(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields])
+            # tz-aware UTC series: Arrow carries the instant, so the
+            # stored epoch is independent of the session timezone
+            pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True)
+            yield pdf
 
     return files.mapInPandas(parse_batches, WARC_SCHEMA)
 
