@@ -143,3 +143,36 @@ def test_warc_ts_is_utc_instant_regardless_of_session_tz(spark, tmp_path):
     want = int(dt.datetime(2024, 2, 3, 4, 5, 6,
                            tzinfo=dt.timezone.utc).timestamp())
     assert epoch_ny == epoch_utc == want
+
+
+def test_corrupt_file_becomes_error_row_not_task_failure(spark, tmp_path):
+    (tmp_path / "good.warc").write_bytes(
+        _record("response", "https://g.test/1", _http(HTML_A)))
+    # gzip magic followed by garbage: inflate fails mid-member
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b" + b"\xde\xad" * 50)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    by_type = {r["warc_type"]: r for r in rows}
+    assert by_type["response"]["url"] == "https://g.test/1"
+    err = by_type["error"]
+    assert err["url"] is None and "ValueError" in err["content_type"]
+    assert err["source_file"].endswith("bad.warc.gz")
+    # the pages view drops the marker row
+    assert read_warc_pages(spark, str(tmp_path)).count() == 1
+
+
+def test_parse_totality_on_arbitrary_bytes():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def check(data):
+        # plain bytes: parse returns a (possibly empty) list; only
+        # gzip-magic inputs may raise, and then only ValueError
+        try:
+            rows = parse_warc_records(data, max_bytes=1 << 16)
+        except ValueError:
+            assert data[:2] == b"\x1f\x8b"
+        else:
+            assert isinstance(rows, list)
+
+    check()

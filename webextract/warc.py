@@ -56,7 +56,10 @@ def _gunzip_bounded(data: bytes, max_bytes: int) -> bytes:
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        chunk = d.decompress(rest, max_bytes - total + 1)
+        try:
+            chunk = d.decompress(rest, max_bytes - total + 1)
+        except zlib.error as exc:   # corrupt member → total error value
+            raise ValueError(f"corrupt WARC gzip member: {exc}") from exc
         total += len(chunk)
         if total > max_bytes:
             raise ValueError("WARC gzip stream exceeds max_bytes cap")
@@ -170,9 +173,21 @@ def read_warc(spark: SparkSession, path: str,
         for batch in batches:
             rows: list[dict] = []
             for fpath, content in zip(batch["path"], batch["content"]):
-                rows.extend(parse_warc_records(
-                    bytes(content), source_file=fpath,
-                    max_bytes=max_bytes))
+                try:
+                    rows.extend(parse_warc_records(
+                        bytes(content), source_file=fpath,
+                        max_bytes=max_bytes))
+                except Exception as exc:
+                    # one corrupt/bomb file must never kill the task:
+                    # surface it as a countable marker row (url NULL →
+                    # read_warc_pages drops it; audits can group on
+                    # warc_type = 'error')
+                    rows.append({
+                        "url": None, "warc_ts": None,
+                        "warc_type": "error",
+                        "content_type": f"{type(exc).__name__}: {exc}",
+                        "html": None, "source_file": fpath,
+                    })
             pdf = pd.DataFrame.from_records(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields])
             # tz-aware UTC series: Arrow carries the instant, so the
