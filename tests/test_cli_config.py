@@ -203,3 +203,37 @@ def test_cli_hygiene_ops(spark, tmp_path, capsys):
     kept = sorted(r["doc_id"] for r in
                   spark.read.parquet(samp_out).collect())
     assert kept == [1, 2]  # every en row, no de rows
+
+
+def test_cli_hygiene_canonicalize_and_lm_score(spark, tmp_path, capsys):
+    from pyspark.sql import Row
+
+    from webextract.__main__ import main
+
+    docs = [
+        Row(doc_id=1, url="https://A.test/x/?utm_source=z",
+            text="the cat sat on the mat"),
+        Row(doc_id=2, url="not a url", text="zz qq vv ww pp"),
+    ]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(docs_path)
+    ref_path = str(tmp_path / "ref")
+    spark.createDataFrame([Row(text="the cat sat on the mat today")]) \
+        .write.parquet(ref_path)
+
+    canon_out = str(tmp_path / "canon")
+    assert main(["hygiene", "--op", "canonicalize", "--input", docs_path,
+                 "--output", canon_out]) == 0
+    capsys.readouterr()
+    canon = {r["doc_id"]: r["canonical_url"]
+             for r in spark.read.parquet(canon_out).collect()}
+    assert canon[1] == "https://a.test/x"
+    assert canon[2] == "not a url"
+
+    lm_out = str(tmp_path / "lm")
+    assert main(["hygiene", "--op", "lm-score", "--input", docs_path,
+                 "--benchmark", ref_path, "--output", lm_out]) == 0
+    capsys.readouterr()
+    lm = {r["id"]: r for r in spark.read.parquet(lm_out).collect()}
+    assert lm[1]["known_rate"] == 1.0
+    assert lm[2]["known_rate"] == 0.0

@@ -1459,3 +1459,18 @@ def test_lm_familiarity_scores(spark):
     assert out[11]["known_rate"] == 0.0
     assert out[12]["n_bigrams"] == 0 and out[12]["known_rate"] == 0.0
     assert out[10]["known_rate"] > out[11]["known_rate"]
+
+
+def test_domain_stats_with_quality_column(spark):
+    from webextract.functions.hygiene import domain_stats
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, url="https://a.test/x", text="xx", q=0.8),
+        Row(doc_id=2, url="https://a.test/y", text="yyy", q=0.4),
+        Row(doc_id=3, url="https://b.test/z", text="z", q=1.0),
+    ])
+    stats = {r["domain"]: r
+             for r in domain_stats(docs, quality_col="q").collect()}
+    assert stats["a.test"]["avg_quality"] == 0.6
+    assert stats["b.test"]["avg_quality"] == 1.0
+    assert stats["a.test"]["total_chars"] == 5

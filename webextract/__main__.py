@@ -137,14 +137,18 @@ def main(argv: list[str] | None = None) -> int:
              "paragraph-dedup | sample")
     hyg.add_argument("--op", required=True,
                      choices=("pii-mask", "decontaminate",
-                              "paragraph-dedup", "sample"))
+                              "paragraph-dedup", "sample",
+                              "canonicalize", "lm-score"))
     hyg.add_argument("--input", required=True,
                      help="documents parquet path")
     hyg.add_argument("--output", required=True)
     hyg.add_argument("--id-col", default="doc_id")
     hyg.add_argument("--text-col", default="text")
     hyg.add_argument("--benchmark", default=None,
-                     help="decontaminate: held-out eval-set parquet")
+                     help="decontaminate: held-out eval-set parquet; "
+                          "lm-score: trusted reference-corpus parquet")
+    hyg.add_argument("--url-col", default="url",
+                     help="canonicalize: URL column")
     hyg.add_argument("--ngram", type=int, default=8,
                      help="decontaminate: overlap n-gram width")
     hyg.add_argument("--min-overlap", type=int, default=1)
@@ -263,6 +267,27 @@ def _run_hygiene(spark, args) -> dict:
         out = paragraph_dedup(docs, id_col=args.id_col,
                               text_col=args.text_col,
                               max_occurrences=args.max_occurrences)
+    elif args.op == "canonicalize":
+        from pyspark.sql import functions as F
+
+        from .functions.hygiene import canonicalize_url
+
+        if args.url_col not in docs.columns:
+            raise SystemExit(
+                f"--op canonicalize: input has no {args.url_col!r} "
+                f"column (have: {docs.columns}); set --url-col")
+        out = docs.withColumn("canonical_url",
+                              canonicalize_url(F.col(args.url_col)))
+    elif args.op == "lm-score":
+        if not args.benchmark:
+            raise SystemExit("--op lm-score requires --benchmark "
+                             "(the trusted reference corpus)")
+        from .functions.hygiene import lm_bigram_model, with_lm_familiarity
+
+        ref = spark.read.parquet(args.benchmark)
+        out = with_lm_familiarity(
+            docs, lm_bigram_model(ref, text_col=args.text_col),
+            id_col=args.id_col, text_col=args.text_col)
     else:  # sample
         if not args.strata_col:
             raise SystemExit("--op sample requires --strata-col")
