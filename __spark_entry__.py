@@ -1146,11 +1146,11 @@ def oracle_sql() -> dict[str, str]:
                               i -> struct_pack(pos := i, para := ps[i])))
                             AS u
                    FROM t),
-            p1 AS (SELECT doc_id, u.pos AS pos,
+            p1 AS (SELECT doc_id, u.pos AS pos, u.para AS para,
                           trim(regexp_replace(u.para, '\\s+', ' ', 'g'))
                             AS pnorm
                    FROM p0),
-            p AS (SELECT doc_id, pos, pnorm, {_H60.format(x='pnorm')} AS h
+            p AS (SELECT doc_id, pos, para, {_H60.format(x='pnorm')} AS h
                   FROM p1 WHERE length(pnorm) > 0),
             c AS (SELECT h, COUNT(*) AS n_occ FROM p GROUP BY 1),
             k AS (SELECT p.*, c.n_occ <= 3 AS keep FROM p JOIN c USING (h))
@@ -1158,7 +1158,7 @@ def oracle_sql() -> dict[str, str]:
                    -- COALESCE: zero kept rows aggregate to NULL here,
                    -- while Spark's collect_list gives [] -> '' (the
                    -- documented all-boilerplate case)
-                   COALESCE(array_to_string(list(pnorm ORDER BY pos)
+                   COALESCE(array_to_string(list(para ORDER BY pos)
                                             FILTER (WHERE keep),
                                             chr(10)), '')
                      AS kept_text,

@@ -1146,18 +1146,21 @@ def test_paragraph_dedup_drops_boilerplate_keeps_order(spark):
         Row(doc_id=1, text=f"alpha body one\n{footer}\nunique tail one"),
         Row(doc_id=2, text=f"beta body two\n{footer}"),
         Row(doc_id=3, text=f"gamma body three\n\n  {footer}  \nend"),
-        Row(doc_id=4, text="untouched document"),
+        Row(doc_id=4, text="untouched  document,\twith   raw spacing"),
         Row(doc_id=5, text="\n\n"),  # no non-empty paragraphs -> absent
     ]
     out = {r["id"]: r for r in paragraph_dedup(
         spark.createDataFrame(rows), max_occurrences=2).collect()}
-    # footer occurs 3x (> 2) -> dropped everywhere, whitespace-normalized
+    # footer occurs 3x (> 2) -> dropped everywhere (counted on the
+    # normalized form, so doc 3's padded variant matches too)
     assert out[1]["kept_text"] == "alpha body one\nunique tail one"
     assert (out[1]["n_paras"], out[1]["n_dropped"]) == (3, 1)
     assert out[2]["kept_text"] == "beta body two"
     assert out[3]["kept_text"] == "gamma body three\nend"
     assert out[3]["n_paras"] == 3  # empty line is not a paragraph
-    assert out[4]["kept_text"] == "untouched document"
+    # surviving paragraphs keep their ORIGINAL bytes (CCNet: normalize
+    # for hashing only, never rewrite the kept text)
+    assert out[4]["kept_text"] == "untouched  document,\twith   raw spacing"
     assert out[4]["n_dropped"] == 0
     assert 5 not in out
     # max_occurrences=3 keeps the footer (count == 3 is allowed)

@@ -240,6 +240,26 @@ def test_grayscale_single_component():
     assert int(np.abs(arr.astype(int) - src[..., 0].astype(int)).max()) <= 2
 
 
+def test_grayscale_declared_sampling_factors_above_one():
+    # T.81 A.2.2: an Ns=1 scan has ONE data unit per MCU in raster order
+    # over the component's own block grid — the declared sampling
+    # factors do not change the entropy stream of a single-component
+    # frame. Patch the SOF sampling byte 0x11 -> 0x22 on a grayscale
+    # stream (a compliant encoder would emit identical scan bytes) and
+    # require an identical decode; the pre-fix interleaved-MCU geometry
+    # read 4 blocks per 16-pixel MCU and desynced.
+    w, h = 20, 12
+    src = (np.arange(w * h).reshape(h, w, 1) * 7 % 256).astype(np.uint8)
+    jp = bytearray(encode_jpeg(w, h, src.tobytes(), nch=1))
+    idx = bytes(jp).find(b"\xff\xc0")
+    assert jp[idx + 11] == 0x11  # cid at +10, sampling at +11
+    jp[idx + 11] = 0x22
+    base = jpeg_pixels(encode_jpeg(w, h, src.tobytes(), nch=1))
+    got = jpeg_pixels(bytes(jp))
+    assert got == base
+    assert got[:3] == (w, h, 1)
+
+
 def test_subsampled_420_flat_regions_and_restart_markers():
     # 2x2 chroma subsampling + restart interval: flat color must survive
     # exactly (subsampling is lossless on constant chroma), and restart

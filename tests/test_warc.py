@@ -160,6 +160,45 @@ def test_corrupt_file_becomes_error_row_not_task_failure(spark, tmp_path):
     assert read_warc_pages(spark, str(tmp_path)).count() == 1
 
 
+def test_negative_content_length_terminates():
+    # a crafted Content-Length of -(header size) would move pos backward
+    # and re-parse the same record forever; the parser must stop instead
+    good = _record("response", "https://g.test/1", _http(HTML_A))
+    hdr = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "WARC-Target-URI: https://evil.test/\r\n"
+           "WARC-Date: 2024-02-03T04:05:06Z\r\n")
+    # choose the length so body_start + length lands back at pos
+    for probe in range(-200, 0):
+        crafted = (hdr + f"Content-Length: {probe}\r\n\r\n").encode()
+        rows = parse_warc_records(good + crafted)
+        assert [r["url"] for r in rows] == ["https://g.test/1"]
+
+
+def test_record_types_opt_in():
+    data = _warc_bytes()
+    # default: payload-bearing kinds only
+    assert [r["warc_type"] for r in parse_warc_records(data)] \
+        == ["response", "conversion"]
+    # WAT-style ingestion: request + metadata records on demand
+    rows = parse_warc_records(
+        data + _record("metadata", "https://a.test/1",
+                       b'{"links": ["https://a.test/2"]}',
+                       ctype="application/json"),
+        record_types=("request", "metadata"))
+    assert [r["warc_type"] for r in rows] == ["request", "metadata"]
+    assert rows[0]["html"].startswith(b"GET /1 HTTP/1.1")  # raw framing
+    assert rows[1]["content_type"] == "application/json"
+    assert rows[1]["html"] == b'{"links": ["https://a.test/2"]}'
+
+
+def test_read_warc_record_types_kwarg(spark, tmp_path):
+    (tmp_path / "m.warc").write_bytes(_warc_bytes())
+    df = read_warc(spark, str(tmp_path), record_types=("conversion",))
+    rows = df.collect()
+    assert [r["warc_type"] for r in rows] == ["conversion"]
+    assert rows[0]["url"] == "https://a.test/2"
+
+
 def test_parse_totality_on_arbitrary_bytes():
     from hypothesis import given, settings, strategies as st
 

@@ -351,7 +351,12 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     Returns (id, kept_text, n_paras, n_dropped): ``kept_text`` is the
     surviving paragraphs rejoined with ``\\n`` in original order (empty
     string when everything was boilerplate); docs with no non-empty
-    paragraphs are absent.
+    paragraphs are absent. Matching CCNet's procedure, hashing and
+    counting happen on the *normalized* paragraph but the ORIGINAL
+    paragraph bytes survive into ``kept_text`` — intra-paragraph
+    formatting is never rewritten by dedup (whitespace-only paragraphs,
+    which normalize to empty, are the one exception: they are treated
+    as non-content and dropped).
 
     Plan at 10^12 docs: paragraphs explode to rows once, keyed by a
     60-bit content hash (:func:`hash60` — the exchange moves longs, not
@@ -364,27 +369,29 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     cardinality and fan-in (paragraphs per doc) are bounded. Nothing
     driver-side, no all-pairs anywhere.
     """
-    norm_para = norm_text(F.col("_para"))
+    norm_para = norm_text(F.col("para"))
+    # pnorm exists only long enough to be hashed: the rows that flow
+    # through the count join carry (id, pos, para, h) — one string per
+    # row, same volume as hashing the normalized form
     paras = (
         docs.select(F.col(id_col).alias("id"),
                     F.posexplode(F.split(F.col(text_col), "\n"))
-                    .alias("pos", "_para"))
-        .select("id", "pos", norm_para.alias("pnorm"))
-        .filter(F.length("pnorm") > 0)
-        .withColumn("h", hash60(F.col("pnorm")))
+                    .alias("pos", "para"))
+        .filter(F.length(norm_para) > 0)
+        .withColumn("h", hash60(norm_para))
     )
     counts = paras.groupBy("h").agg(F.count("*").alias("n_occ"))
     flagged = paras.join(counts, "h").withColumn(
         "keep", F.col("n_occ") <= max_occurrences)
     kept_struct = F.when(F.col("keep"),
-                         F.struct(F.col("pos"), F.col("pnorm")))
+                         F.struct(F.col("pos"), F.col("para")))
     return (
         flagged.groupBy("id")
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s["pnorm"]),
+                    lambda s: s["para"]),
                 "\n").alias("kept_text"),
             F.count("*").alias("n_paras"),
             F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),

@@ -265,17 +265,28 @@ def _decode_scan(b, pos, w, h, scan, qt, huff_dc, huff_ac,
     vmax = max(c["v"] for c, _, _ in scan)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise ValueError("bad JPEG sampling factors")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+    if len(scan) == 1:
+        # T.81 A.2.2: an Ns=1 scan is non-interleaved — ONE data unit
+        # per MCU, raster order over the component's own block grid
+        # (ceil(w/8) x ceil(h/8); a grayscale SOF declaring sampling
+        # factors >1 must NOT decode h*v blocks per 8*hmax-pixel MCU,
+        # which the interleaved geometry below would do). Mirrors the
+        # progressive path's nbx/nby single-component handling.
+        mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+        unit_shape = (1, 1)
+    else:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        unit_shape = None   # interleaved: comp["v"] x comp["h"] per MCU
     planes = []
     for comp, dc_id, ac_id in scan:
         if comp["tq"] not in qt:
             raise ValueError("SOF references missing quantization table")
         if dc_id not in huff_dc or ac_id not in huff_ac:
             raise ValueError("SOS references missing Huffman table")
+        cv, ch_ = unit_shape or (comp["v"], comp["h"])
         planes.append(np.zeros(
-            (mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8),
-            dtype=np.float64))
+            (mcus_y * cv * 8, mcus_x * ch_ * 8), dtype=np.float64))
     reader = _BitReader(b, pos)
     preds = [0] * len(scan)
     coef = np.empty((8, 8), dtype=np.float64)
@@ -291,8 +302,9 @@ def _decode_scan(b, pos, w, h, scan, qt, huff_dc, huff_ac,
             for ci, (comp, dc_id, ac_id) in enumerate(scan):
                 q = qt[comp["tq"]]
                 dc_tbl, ac_tbl = huff_dc[dc_id], huff_ac[ac_id]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
+                nv, nh = unit_shape or (comp["v"], comp["h"])
+                for by in range(nv):
+                    for bx in range(nh):
                         coef[:] = 0.0
                         s = reader.decode(dc_tbl)
                         if s > 11:
@@ -317,8 +329,8 @@ def _decode_scan(b, pos, w, h, scan, qt, huff_dc, huff_ac,
                                 reader.bits(s), s)
                             k += 1
                         block = cmat.T @ (coef * q) @ cmat
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
+                        y0 = (my * nv + by) * 8
+                        x0 = (mx * nh + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
             mcu_count += 1
     out = []

@@ -106,11 +106,21 @@ def _split_http_body(content: bytes) -> tuple[bytes, str | None]:
     return content[sep + 4:], ctype
 
 
+DEFAULT_RECORD_TYPES = ("response", "conversion")
+
+
 def parse_warc_records(data: bytes, source_file: str = "",
-                       max_bytes: int = 1 << 30) -> list[dict]:
+                       max_bytes: int = 1 << 30,
+                       record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+                       ) -> list[dict]:
     """Walk one WARC file's bytes → list of WARC_SCHEMA row dicts.
     Structural damage stops the walk at the last good record (a
-    truncated tail loses only that tail, never earlier records)."""
+    truncated tail loses only that tail, never earlier records).
+
+    ``record_types`` selects which WARC-Type values are emitted
+    (default response + conversion — the payload-bearing kinds);
+    pass e.g. ``("response", "metadata")`` to ingest Common-Crawl WAT
+    sidecars for URL-graph work."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_bounded(data, max_bytes)
     rows: list[dict] = []
@@ -135,18 +145,27 @@ def parse_warc_records(data: bytes, source_file: str = "",
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            # a negative Content-Length would move pos BACKWARD
+            # (body_start + length < body_start) and re-parse the same
+            # record forever — totality requires pos to strictly
+            # advance, so a malformed length ends the walk here
+            break
         body_start = hdr_end + 4
         if body_start + length > n:
             break   # truncated record
         content = data[body_start:body_start + length]
         pos = body_start + length
         rtype = headers.get("warc-type", "")
+        if rtype not in record_types:
+            continue   # not opted in (default: response + conversion)
         if rtype == "response":
             body, ctype = _split_http_body(content)
-        elif rtype == "conversion":
-            body, ctype = content, headers.get("content-type")
         else:
-            continue   # request / metadata / warcinfo / revisit
+            # conversion (WET) bodies are verbatim; request records keep
+            # their HTTP request framing (callers ingesting WAT-style
+            # sidecars want the raw record); metadata/warcinfo likewise
+            body, ctype = content, headers.get("content-type")
         rows.append({
             "url": headers.get("warc-target-uri"),
             "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
@@ -159,15 +178,20 @@ def parse_warc_records(data: bytes, source_file: str = "",
 
 
 def read_warc(spark: SparkSession, path: str,
-              max_bytes: int = 1 << 30) -> DataFrame:
+              max_bytes: int = 1 << 30,
+              record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+              ) -> DataFrame:
     """Directory/glob of WARC files → DataFrame(WARC_SCHEMA).
 
     One task per file (``binaryFile`` never splits); parsing runs in
     ``mapInPandas`` so record bytes cross into the JVM once, as Arrow
     batches. ``max_bytes`` caps per-file decompression (bomb guard).
+    ``record_types`` opts into non-default WARC-Type kinds (e.g.
+    ``("metadata",)`` for WAT sidecars).
     """
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
+    rtypes = tuple(record_types)
 
     def parse_batches(batches):
         for batch in batches:
@@ -176,7 +200,7 @@ def read_warc(spark: SparkSession, path: str,
                 try:
                     rows.extend(parse_warc_records(
                         bytes(content), source_file=fpath,
-                        max_bytes=max_bytes))
+                        max_bytes=max_bytes, record_types=rtypes))
                 except Exception as exc:
                     # one corrupt/bomb file must never kill the task:
                     # surface it as a countable marker row (url NULL →
