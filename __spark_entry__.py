@@ -325,6 +325,68 @@ def q_quality_scores_multilang(spark, sf_dir):
     )
 
 
+# Deterministic non-Latin fixtures for the Unicode-script language-ID
+# path (text.SCRIPT_DECISION): one short sample paragraph per script
+# language, each dominated by its own script's code points. The ja
+# sample is kana-heavy (kana presence wins over Han count); every
+# sample contains its language's function words so the script-keyed
+# stopword base (CJK_CHAR_MARKERS / SCRIPT_STOPWORDS) scores nonzero.
+SCRIPT_SAMPLES: dict[str, str] = {
+    "zh": "这是一个测试网页的内容 它包含了常见的中文功能词"
+          " 我们在这里写了一些句子 文字不是很长 和其他页面不同",
+    "ja": "これはテストのページです 日本語の文章を書いています"
+          " 内容は短いですが機能語を含みます",
+    "ko": "이것은 테스트 페이지입니다 한국어 문장을 쓰고 있습니다"
+          " 내용은 짧지만 기능어를 포함합니다",
+    "ru": "это тестовая страница и мы пишем на русском языке"
+          " что не очень длинно на этом сайте",
+    "ar": "هذه صفحة اختبار في موقعنا من أجل التحقق على أن هذا النص لا يطول",
+    "hi": "यह एक परीक्षण पृष्ठ है के लिए हम में हिंदी की भाषा और"
+          " लिखते हैं का उपयोग है",
+}
+_SCRIPT_ORDER: tuple[str, ...] = ("zh", "ja", "ko", "ru", "ar", "hi")
+
+
+def _script_docs(spark, sf_dir):
+    """Deterministic global-crawl corpus: docs are routed by
+    ``doc_id % 7`` (bigint modulo, engine-exact) — slots 0–5 become a
+    script-language doc (lang relabeled, text replaced by that
+    language's :data:`SCRIPT_SAMPLES` paragraph), slot 6 keeps the
+    original Latin row. Exactly mirrored in SQL (same modulo, same
+    literals)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    slot = F.col("doc_id") % 7
+    lang_expr, text_expr = F.col("lang"), F.col("text")
+    for i, code in enumerate(_SCRIPT_ORDER):
+        lang_expr = F.when(slot == i, F.lit(code)).otherwise(lang_expr)
+        text_expr = F.when(slot == i, F.lit(SCRIPT_SAMPLES[code])) \
+            .otherwise(text_expr)
+    return docs.withColumn("lang", lang_expr).withColumn("text", text_expr)
+
+
+def q_lang_id_scripts(spark, sf_dir):
+    # non-Latin detection surface: over the script corpus the confusion
+    # matrix over (lang, guess_lang) must show one diagonal guess class
+    # per script language (zh/ja/ko/ru/ar/hi) — before round 6 all six
+    # collapsed into 'und'
+    feats = with_text_features(_script_docs(spark, sf_dir))
+    return feats.groupBy("lang", "guess_lang").agg(
+        F.count("*").alias("n_docs"))
+
+
+def q_quality_scores_scripts(spark, sf_dir):
+    # script-keyed quality base: per guessed language over the script
+    # corpus, average stop_ratio and quality_score — exercises the CJK
+    # character-marker base (char ≈ token) and the word-based ru/ar/hi
+    # sets through the full oracle
+    feats = with_text_features(_script_docs(spark, sf_dir))
+    return feats.groupBy("guess_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 def q_token_counts_by_source(spark, sf_dir):
     feats = with_text_features(_docs(spark, sf_dir))
     return feats.groupBy("source").agg(
@@ -666,8 +728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "lang_id": q_lang_id,
         "lang_id_mixed": q_lang_id_mixed,
+        "lang_id_scripts": q_lang_id_scripts,
         "quality_scores": q_quality_scores,
         "quality_scores_multilang": q_quality_scores_multilang,
+        "quality_scores_scripts": q_quality_scores_scripts,
         "token_counts_by_source": q_token_counts_by_source,
         "top_longest_docs": q_top_longest_docs,
         "dup_url_check": q_dup_url_check,
@@ -1223,8 +1287,10 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "lang_id": _lang_id_sql(),
         "lang_id_mixed": _lang_id_mixed_sql(),
+        "lang_id_scripts": _lang_id_scripts_sql(),
         "quality_scores": _quality_sql(),
         "quality_scores_multilang": _quality_multilang_sql(),
+        "quality_scores_scripts": _quality_scripts_sql(),
         "token_counts_by_source": f"""
             WITH n AS (SELECT source, {norm} AS norm FROM documents),
             t AS (SELECT source,
@@ -1524,11 +1590,55 @@ def _sql_marker_hits(markers: tuple[str, ...]) -> str:
             " AS BIGINT)")
 
 
-def _lang_id_sql(src: str = "documents") -> str:
-    """Mirror of text.lang_guess: per-language marker-hit ratios (one
-    token-array pass each), argmax with alphabetical tiebreak (CASE
-    order), 'und' under the threshold."""
+def _sql_script_ratio_cols() -> str:
+    """Mirror of the script code-point ratios in with_text_features:
+    ``len(regexp_extract_all(...))`` over RE2 hex char classes — the
+    same ``\\x{...}`` class syntax the Spark side feeds Java regex, so
+    the counts are engine-exact. The Spark side's pure-ASCII rlike
+    pre-check is a skip-work guard only (an ASCII page counts 0 in
+    every class), so the oracle mirrors just the arithmetic."""
+    from webextract.functions.text import SCRIPT_RANGES
+
+    return ", ".join(
+        f"CASE WHEN nsc > 0 THEN len(regexp_extract_all(norm,"
+        f" '{SCRIPT_RANGES[s]}')) / CAST(nsc AS DOUBLE)"
+        f" ELSE 0.0 END AS sc_{s}"
+        for s in sorted(SCRIPT_RANGES))
+
+
+def _sql_latin_guess_case() -> str:
+    """Latin marker argmax with alphabetical tiebreak (CASE order),
+    'und' under the threshold — over the r_<code> ratio columns."""
     from webextract.functions.text import LANG_MARKERS, LANG_THRESHOLD
+
+    codes = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"r_{c}" for c in codes) + ")"
+    case = f"CASE WHEN {best} < {LANG_THRESHOLD} THEN 'und'"
+    for c in codes:
+        case += f" WHEN r_{c} = {best} THEN '{c}'"
+    case += " ELSE 'und' END"
+    return case
+
+
+def _sql_guess_case() -> str:
+    """Mirror of the full guess: script decision first (fixed
+    SCRIPT_DECISION precedence — kana→ja before the dominant-script
+    checks), Latin argmax as the fallback arm."""
+    from webextract.functions.text import SCRIPT_DECISION
+
+    case = "CASE"
+    for script, lang_code, threshold in SCRIPT_DECISION:
+        case += f" WHEN sc_{script} >= {threshold} THEN '{lang_code}'"
+    case += f" ELSE ({_sql_latin_guess_case()}) END"
+    return case
+
+
+def _lang_id_sql(src: str = "documents") -> str:
+    """Mirror of text's guess chain: Unicode-script code-point ratios
+    checked first (SCRIPT_DECISION precedence), then per-language
+    marker-hit ratios (one token-array pass each), argmax with
+    alphabetical tiebreak (CASE order), 'und' under the threshold."""
+    from webextract.functions.text import LANG_MARKERS
 
     norm = _NORM_SQL
     codes = sorted(LANG_MARKERS)
@@ -1538,19 +1648,16 @@ def _lang_id_sql(src: str = "documents") -> str:
         ratio_cols.append(
             f"CASE WHEN n_tokens > 0 THEN {hits} / CAST(n_tokens AS"
             f" DOUBLE) ELSE 0.0 END AS r_{code}")
-    best = "greatest(" + ", ".join(f"r_{c}" for c in codes) + ")"
-    case = f"CASE WHEN {best} < {LANG_THRESHOLD} THEN 'und'"
-    for c in codes:
-        case += f" WHEN r_{c} = {best} THEN '{c}'"
-    case += " ELSE 'und' END"
     return f"""
         WITH n AS (SELECT lang, {norm} AS norm FROM {src}),
-        t AS (SELECT lang, string_split(norm, ' ') AS toks,
+        t AS (SELECT lang, norm, string_split(norm, ' ') AS toks,
+                     length(replace(norm, ' ', '')) AS nsc,
                      CASE WHEN length(norm) = 0 THEN 0
                           ELSE len(string_split(norm, ' ')) END AS n_tokens
               FROM n),
-        r AS (SELECT lang, {', '.join(ratio_cols)} FROM t),
-        g AS (SELECT lang, {case} AS guess_lang FROM r)
+        r AS (SELECT lang, {', '.join(ratio_cols)},
+                     {_sql_script_ratio_cols()} FROM t),
+        g AS (SELECT lang, {_sql_guess_case()} AS guess_lang FROM r)
         SELECT lang, guess_lang, COUNT(*) AS n_docs
         FROM g GROUP BY 1, 2
     """
@@ -1567,7 +1674,7 @@ def _sql_quality_chain(src: str) -> str:
     ORDER BY count DESC, gram ASC — the tiebreak the Spark sorted-array
     fold produces."""
     from webextract.functions.text import (
-        LANG_MARKERS, LANG_STOPWORDS, LANG_THRESHOLD,
+        CJK_CHAR_MARKERS, CJK_LANGS, LANG_MARKERS, LANG_STOPWORDS,
         MAX_BULLET_LINE_RATIO, MAX_DUP_LINE_RATIO, MAX_ELLIPSIS_LINE_RATIO,
         MAX_SYMBOL_RATIO, MAX_TOP2GRAM_CHAR_RATIO, MEAN_WORD_LEN_BAND,
         STOPWORDS, _BULLET_PREFIXES, _ELLIPSIS_SUFFIXES,
@@ -1578,14 +1685,20 @@ def _sql_quality_chain(src: str) -> str:
         f"CASE WHEN n_tokens > 0 THEN {_sql_marker_hits(LANG_MARKERS[c])}"
         f" / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS r_{c}"
         for c in codes)
-    best = "greatest(" + ", ".join(f"r_{c}" for c in codes) + ")"
-    guess = f"CASE WHEN {best} < {LANG_THRESHOLD} THEN 'und'"
-    for c in codes:
-        guess += f" WHEN r_{c} = {best} THEN '{c}'"
-    guess += " ELSE 'und' END"
+    guess = _sql_guess_case()
+    # effective token count: CJK languages have no whitespace word
+    # boundaries, so their per-token signals run over non-space chars
+    cjk_in = ", ".join(f"'{c}'" for c in CJK_LANGS)
+    eff = (f"CASE WHEN guess_lang IN ({cjk_in}) THEN nsc"
+           f" ELSE n_tokens END")
     # language-aware stopword base: the guessed language selects its own
-    # function-word set; en/und fall through to the English set
+    # function-word set (character markers for CJK, word sets
+    # otherwise); en/und fall through to the English set
     n_stop = "CASE guess_lang"
+    for c in sorted(CJK_CHAR_MARKERS):
+        hits = " + ".join(_sql_occ("norm", f"'{ch}'", 1)
+                          for ch in CJK_CHAR_MARKERS[c])
+        n_stop += f" WHEN '{c}' THEN ({hits})"
     for c in sorted(LANG_STOPWORDS):
         n_stop += f" WHEN '{c}' THEN {_sql_marker_hits(LANG_STOPWORDS[c])}"
     n_stop += f" ELSE {_sql_marker_hits(STOPWORDS)} END"
@@ -1609,21 +1722,30 @@ def _sql_quality_chain(src: str) -> str:
                   len(string_split(text, chr(10)))
                     - len(list_distinct(string_split(text, chr(10))))
                     AS n_dup_lines,
+                  replace(norm, ' ', '') AS ns,
+                  length(replace(norm, ' ', '')) AS nsc,
                   CASE WHEN length(norm) = 0 THEN 0
                        ELSE len(string_split(norm, ' ')) END AS n_tokens
            FROM qn),
-    ql AS (SELECT qt.*, {ratio_cols} FROM qt),
+    ql AS (SELECT qt.*, {ratio_cols}, {_sql_script_ratio_cols()} FROM qt),
     qf AS (SELECT ql.*, {n_stop} AS n_stop,
                   ({symbol_hits}) AS n_symbols,
                   ({bullet_hits}) AS n_bullet,
                   ({ellipsis_hits}) AS n_ellipsis
-           FROM (SELECT ql.*, {guess} AS guess_lang FROM ql) ql),
+           FROM (SELECT ql.*, {eff} AS eff
+                 FROM (SELECT ql.*, {guess} AS guess_lang FROM ql) ql) ql),
     qg AS (SELECT doc_id,
-                  unnest(CASE WHEN n_tokens >= 2
-                              THEN list_transform(range(1, n_tokens),
-                                     i -> array_to_string(toks[i:i+1], ' '))
-                              ELSE [] END) AS gram
-           FROM qt),
+                  unnest(CASE
+                         WHEN guess_lang IN ({cjk_in})
+                         THEN CASE WHEN nsc >= 2
+                                   THEN list_transform(range(1, nsc),
+                                          i -> substr(ns, CAST(i AS INT), 2))
+                                   ELSE [] END
+                         WHEN n_tokens >= 2
+                         THEN list_transform(range(1, n_tokens),
+                                i -> array_to_string(toks[i:i+1], ' '))
+                         ELSE [] END) AS gram
+           FROM qf),
     qgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM qg GROUP BY 1, 2),
     qtop AS (SELECT doc_id, c * length(gram) AS top_chars
              FROM (SELECT doc_id, gram, c,
@@ -1632,15 +1754,15 @@ def _sql_quality_chain(src: str) -> str:
                    FROM qgc)
              WHERE rn = 1),
     qr AS (SELECT qf.*,
-                  ROUND(CASE WHEN n_tokens > 0
-                             THEN n_stop / CAST(n_tokens AS DOUBLE)
+                  ROUND(CASE WHEN eff > 0
+                             THEN n_stop / CAST(eff AS DOUBLE)
                              ELSE 0.0 END, 6) AS stop_ratio,
                   ROUND(CASE WHEN n_tokens > 0
                              THEN (length(norm) - (n_tokens - 1))
                                   / CAST(n_tokens AS DOUBLE)
                              ELSE 0.0 END, 6) AS mean_word_len,
-                  ROUND(CASE WHEN n_tokens > 0
-                             THEN n_symbols / CAST(n_tokens AS DOUBLE)
+                  ROUND(CASE WHEN eff > 0
+                             THEN n_symbols / CAST(eff AS DOUBLE)
                              ELSE 0.0 END, 6) AS symbol_ratio,
                   ROUND(n_bullet / CAST(n_lines AS DOUBLE), 6)
                     AS bullet_line_ratio,
@@ -1657,10 +1779,11 @@ def _sql_quality_chain(src: str) -> str:
                              ELSE 0.0 END, 6) AS top2gram_char_frac
            FROM qf LEFT JOIN qtop USING (doc_id)),
     q AS (SELECT qr.*,
-                 ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0
-                             WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END
+                 ROUND((CASE WHEN eff BETWEEN 20 AND 1000 THEN 1.0
+                             WHEN eff >= 5 THEN 0.5 ELSE 0.0 END
                         + LEAST(stop_ratio * 4, 1.0)) / 2
-                       * CASE WHEN mean_word_len BETWEEN {lo} AND {hi}
+                       * CASE WHEN guess_lang IN ({cjk_in})
+                                OR mean_word_len BETWEEN {lo} AND {hi}
                               THEN 1.0 ELSE 0.0 END
                        * CASE WHEN symbol_ratio <= {MAX_SYMBOL_RATIO}
                               THEN 1.0 ELSE 0.0 END
@@ -1695,6 +1818,39 @@ def _lang_id_mixed_sql() -> str:
     """Mirror of q_lang_id_mixed: the standard lang-ID chain over the
     mixed corpus."""
     return _lang_id_sql(src=_mixed_src_sql())
+
+
+def _script_src_sql() -> str:
+    """Mirror of _script_docs: doc_id % 7 routing, SCRIPT_SAMPLES
+    paragraphs as SQL literals."""
+    lang_case, text_case = "CASE", "CASE"
+    for i, code in enumerate(_SCRIPT_ORDER):
+        lang_case += f" WHEN doc_id % 7 = {i} THEN '{code}'"
+        text_case += (f" WHEN doc_id % 7 = {i}"
+                      f" THEN '{SCRIPT_SAMPLES[code]}'")
+    lang_case += " ELSE lang END"
+    text_case += " ELSE text END"
+    return (f"(SELECT doc_id, {lang_case} AS lang,"
+            f" {text_case} AS text FROM documents)")
+
+
+def _lang_id_scripts_sql() -> str:
+    """Mirror of q_lang_id_scripts: the full guess chain (script
+    decision + Latin argmax) over the script corpus."""
+    return _lang_id_sql(src=_script_src_sql())
+
+
+def _quality_scripts_sql() -> str:
+    """Mirror of q_quality_scores_scripts: the quality chain (CJK
+    char-marker base, eff-token signals) over the script corpus,
+    aggregated per guessed language."""
+    return f"""
+        WITH {_sql_quality_chain(_script_src_sql())}
+        SELECT guess_lang, COUNT(*) AS n_docs,
+               ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio,
+               ROUND(AVG(quality_score), 6) AS avg_quality
+        FROM q GROUP BY guess_lang
+    """
 
 
 def _quality_sql() -> str:

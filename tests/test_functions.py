@@ -162,6 +162,51 @@ def test_lang_id_confusion_matrix(spark):
     assert all(g == (l if l != "zz" else "und") for l, g in got)
 
 
+def test_script_lang_id_confusion_matrix(spark):
+    # non-Latin scripts classify by Unicode code-point ratios BEFORE
+    # the Latin marker argmax: zh/ja/ko/ru/ar/hi land on the diagonal
+    # instead of collapsing into 'und'; kana presence wins over the
+    # (majority-Han) kanji count for Japanese
+    rows = [
+        Row(lang="zh", text="这是一个测试网页的内容 它包含了常见的中文功能词"),
+        Row(lang="ja", text="日本語の文章を書いています 内容は短いです"),
+        Row(lang="ko", text="이것은 테스트 페이지입니다 한국어 문장을 씁니다"),
+        Row(lang="ru", text="это тестовая страница и мы пишем на русском языке"),
+        Row(lang="ar", text="هذه صفحة اختبار في موقعنا من أجل التحقق"),
+        Row(lang="hi", text="यह एक परीक्षण पृष्ठ है के लिए हम हिंदी में लिखते हैं"),
+        # Latin fallback still works on the same DataFrame
+        Row(lang="en", text="the cat sat on the mat and the dog is a friend"),
+    ]
+    feats = with_text_features(spark.createDataFrame(rows))
+    got = {r["lang"]: r for r in feats.collect()}
+    for lang in ("zh", "ja", "ko", "ru", "ar", "hi", "en"):
+        assert got[lang]["guess_lang"] == lang, (lang, got[lang]["guess_lang"])
+    # script-keyed stopword bases score nonzero for every script class
+    for lang in ("zh", "ja", "ko", "ru", "ar", "hi"):
+        assert got[lang]["n_stop"] > 0, lang
+        assert got[lang]["stop_ratio"] > 0, lang
+
+
+def test_cjk_quality_gates(spark):
+    # for CJK the per-token gates run over non-space chars (char ≈
+    # token): a normal CJK page must NOT be zeroed by the whitespace
+    # mean-word-length or token-2-gram gates, while a genuinely
+    # repetitive CJK page is still caught by the char-bigram fraction
+    normal = ("这是一个正常的中文网页内容 它包含了许多不同的句子和词语"
+              " 我们在这里写了关于天气和生活的文字 内容丰富而且不重复"
+              " 的是了在和不的确有很多常见字")
+    spam = "买买买买买买买买买买买买买买买买买买买买买买买买买买买买买买"
+    rows = [Row(doc_id=1, text=normal), Row(doc_id=2, text=spam)]
+    out = {r["doc_id"]: r for r in
+           with_text_features(spark.createDataFrame(rows)).collect()}
+    assert out[1]["guess_lang"] == "zh"
+    assert out[1]["quality_score"] > 0, dict(out[1].asDict())
+    # the spam page: one char bigram covers ~the whole page
+    assert out[2]["guess_lang"] == "zh"
+    assert out[2]["top2gram_char_frac"] > 0.2
+    assert out[2]["quality_score"] == 0.0
+
+
 def test_quality_gate_separates_boilerplate_from_article(spark):
     article = ("the quick brown fox jumps over the lazy dog and the "
                "river flows to the sea while a bird sings in the tall "

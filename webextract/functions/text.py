@@ -28,6 +28,49 @@ LANG_THRESHOLD = 0.04  # best marker ratio below this → 'und'
 EN_MARKERS: tuple[str, ...] = LANG_MARKERS["en"]
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "in", "to", "is")
 
+# Unicode-script detection (round 6): the Latin marker argmax maps every
+# non-Latin page — the majority of a global crawl — to 'und'. Script
+# code-point ratios are checked FIRST, so Chinese/Japanese/Korean/
+# Russian/Arabic/Hindi pages get a real class and their own quality
+# base. Character classes use the \x{...} hex-escape syntax shared by
+# Java regex (Spark) and RE2 (DuckDB), so the oracle stays exact.
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": r"[\x{0600}-\x{06FF}\x{0750}-\x{077F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+    "han": r"[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]",
+    "hangul": r"[\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]",
+    "kana": r"[\x{3040}-\x{30FF}]",
+}
+# fixed decision precedence: kana presence means Japanese even though
+# Japanese text is mostly Han (kanji); then the dominant-script checks
+SCRIPT_THRESHOLD = 0.3   # script chars / non-space chars
+KANA_THRESHOLD = 0.05    # any real kana presence → ja
+# (script, language, threshold) in decision order
+SCRIPT_DECISION: tuple[tuple[str, str, float], ...] = (
+    ("kana", "ja", KANA_THRESHOLD),
+    ("han", "zh", SCRIPT_THRESHOLD),
+    ("hangul", "ko", SCRIPT_THRESHOLD),
+    ("arabic", "ar", SCRIPT_THRESHOLD),
+    ("devanagari", "hi", SCRIPT_THRESHOLD),
+    ("cyrillic", "ru", SCRIPT_THRESHOLD),
+)
+# languages whose function words are not whitespace-delimited: the
+# stopword base counts marker CHARACTERS over non-space chars instead
+# of marker tokens over whitespace tokens
+CJK_LANGS: tuple[str, ...] = ("ja", "ko", "zh")
+CJK_CHAR_MARKERS: dict[str, tuple[str, ...]] = {
+    "ja": ("の", "に", "は", "を", "が", "た"),
+    "ko": ("이", "는", "을", "가", "의", "에"),
+    "zh": ("的", "是", "了", "在", "和", "不"),
+}
+# word-based stopword sets for space-delimited non-Latin scripts
+SCRIPT_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "ar": ("في", "من", "على", "أن", "هذا", "لا"),
+    "hi": ("है", "के", "में", "की", "और", "का"),
+    "ru": ("и", "в", "не", "на", "что", "это"),
+}
+
 
 def norm_text(col: str | Column = "text") -> Column:
     """Whitespace-canonicalized text — mirror of the extractor's
@@ -213,7 +256,10 @@ _ELLIPSIS_SUFFIXES = ("...\n", "…\n")
 # a French or German article is not scored against English stopwords;
 # 'en' and 'und' keep the broader English set.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
-    code: LANG_MARKERS[code] for code in LANG_MARKERS if code != "en"
+    **{code: LANG_MARKERS[code] for code in LANG_MARKERS if code != "en"},
+    # space-delimited non-Latin scripts keep the word-based path; the
+    # CJK languages are handled by CJK_CHAR_MARKERS instead
+    **SCRIPT_STOPWORDS,
 }
 
 
@@ -237,6 +283,19 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     English-only base every non-English page scored as if it had no
     function words at all.
 
+    ``guess_lang`` checks Unicode-script ratios BEFORE the Latin marker
+    argmax (:data:`SCRIPT_DECISION`): pages dominated by Han/Kana/
+    Hangul/Cyrillic/Arabic/Devanagari code points classify as
+    zh/ja/ko/ru/ar/hi instead of collapsing into 'und' (the majority of
+    a global crawl is non-Latin — the reference's analog is its total
+    decode of every corpus input, ``utils/image_utils.py:84-168``). For
+    the CJK languages, whose function words are not whitespace-
+    delimited, the stopword base counts marker CHARACTERS
+    (:data:`CJK_CHAR_MARKERS`) over non-space chars, the length band
+    runs over non-space chars, and the mean-word-length gate (a
+    whitespace-token signal, meaningless for CJK) passes by script
+    class; ru/ar/hi keep the word-based path with their own sets.
+
     The web-text analog of the reference's mean-confidence provenance
     (A6, ``tooling/average_confidence.py``). fingerprint is the content
     hash used for exact dedup (md5 of the normalized text). All pure
@@ -256,6 +315,23 @@ def with_text_features(docs: DataFrame) -> DataFrame:
         .otherwise(F.size(toks)).cast("long")
     step2 = step1.withColumn("n_tokens", n_tokens)
     nt = F.col("n_tokens")
+    # Unicode-script ratios: script code points / non-space chars. The
+    # _na pre-check is one cheap any-non-ASCII scan so the six
+    # script-class regex counts never run on the (majority) pure-ASCII
+    # pages — rlike exits at the first non-ASCII char; the ratio VALUES
+    # are unchanged by the guard (an ASCII page counts 0 in every
+    # class), so the oracle mirrors only the arithmetic.
+    step2 = (step2
+             .withColumn("_ns", F.replace(normc, F.lit(" "), F.lit("")))
+             .withColumn("_nsc", F.length(F.col("_ns")))
+             .withColumn("_na", normc.rlike(r"[^\x00-\x7F]")))
+    for script in sorted(SCRIPT_RANGES):
+        step2 = step2.withColumn(
+            f"_sc_{script}",
+            F.when(F.col("_na") & (F.col("_nsc") > 0),
+                   F.regexp_count(normc, F.lit(SCRIPT_RANGES[script]))
+                   / F.col("_nsc"))
+            .otherwise(F.lit(0.0)))
     # per-language marker ratios land in their own columns so each
     # single-pass token filter runs ONCE even though the argmax CASE
     # references every ratio twice (greatest + its own arm)
@@ -265,15 +341,38 @@ def with_text_features(docs: DataFrame) -> DataFrame:
             F.when(nt > 0, marker_hits(toks, LANG_MARKERS[code]) / nt)
             .otherwise(F.lit(0.0)))
     best = F.greatest(*[F.col(f"_r_{c}") for c in codes])
-    guess = F.when(best < F.lit(LANG_THRESHOLD), F.lit("und"))
+    latin = F.when(best < F.lit(LANG_THRESHOLD), F.lit("und"))
     for c in codes:
-        guess = guess.when(F.col(f"_r_{c}") == best, F.lit(c))
-    guess = guess.otherwise(F.lit("und"))
-    step2 = step2.withColumn("guess_lang", guess)
+        latin = latin.when(F.col(f"_r_{c}") == best, F.lit(c))
+    latin = latin.otherwise(F.lit("und"))
+    # script decision first (fixed precedence), Latin argmax as fallback
+    guess: Column | None = None
+    for script, lang_code, threshold in SCRIPT_DECISION:
+        cond = F.col(f"_sc_{script}") >= F.lit(threshold)
+        guess = (F.when(cond, F.lit(lang_code)) if guess is None
+                 else guess.when(cond, F.lit(lang_code)))
+    assert guess is not None
+    step2 = step2.withColumn("guess_lang", guess.otherwise(latin))
+
+    # effective token count: the CJK languages have no whitespace word
+    # boundaries (a page is ~one giant "token"), so every per-token
+    # signal uses non-space chars for them — char ≈ token in CJK
+    eff = F.when(F.col("guess_lang").isin(*CJK_LANGS), F.col("_nsc")) \
+        .otherwise(nt)
+    step2 = step2.withColumn("_eff", eff)
+    ne = F.col("_eff")
 
     # language-aware stopword base (one lazily-evaluated CASE arm per
-    # language: only the guessed language's token filter runs per row)
+    # language: only the guessed language's token filter runs per row);
+    # CJK languages count marker characters instead of marker tokens
     n_stop: Column | None = None
+    for code in sorted(CJK_CHAR_MARKERS):
+        cond = F.col("guess_lang") == code
+        hits = sum((occurrences(normc, ch)
+                    for ch in CJK_CHAR_MARKERS[code]),
+                   F.lit(0).cast("long"))
+        n_stop = (F.when(cond, hits) if n_stop is None
+                  else n_stop.when(cond, hits))
     for code in sorted(LANG_STOPWORDS):
         cond = F.col("guess_lang") == code
         hits = marker_hits(toks, LANG_STOPWORDS[code])
@@ -284,7 +383,7 @@ def with_text_features(docs: DataFrame) -> DataFrame:
                              n_stop.otherwise(stopword_hits(toks)))
 
     stop_ratio = F.round(
-        F.when(nt > 0, F.col("n_stop") / nt).otherwise(F.lit(0.0)), 6)
+        F.when(ne > 0, F.col("n_stop") / ne).otherwise(F.lit(0.0)), 6)
     # chars-per-token of the normalized text (spaces excluded)
     mean_word_len = F.round(
         F.when(nt > 0, (F.length(normc) - (nt - 1)) / nt)
@@ -292,7 +391,7 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     n_symbols = occurrences(normc, "#") + occurrences(normc, "...") \
         + occurrences(normc, "…")
     symbol_ratio = F.round(
-        F.when(nt > 0, n_symbols / nt).otherwise(F.lit(0.0)), 6)
+        F.when(ne > 0, n_symbols / ne).otherwise(F.lit(0.0)), 6)
     # line signals over raw text: pad with newlines so first/last lines
     # match the same \n-anchored patterns as interior ones
     nl_padded = F.concat(F.lit("\n"), raw, F.lit("\n"))
@@ -328,10 +427,25 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     # allocations outweigh the redundant compares, which exit on the
     # first differing character for almost every adjacent sorted-gram
     # pair. This fold is the faster plan, kept deliberately.
-    grams2 = F.when(nt >= 2, F.array_sort(F.transform(
+    # CJK gram source: a whitespace 2-gram over unsegmented text is two
+    # giant phrase chunks — it covers a large char fraction on every
+    # page and zeroes the gate corpus-wide. The Gopher repetition
+    # signal adapted to unsegmented scripts is CHARACTER bigrams
+    # (overlapping, over the space-stripped text); bestlen=2 falls out
+    # of the same fold, and the same 0.2 char-fraction threshold
+    # applies to all languages.
+    empty = F.array().cast("array<string>")
+    tok_grams = F.when(nt >= 2, F.array_sort(F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.array_join(F.slice(toks, i, 2), " "),
-    ))).otherwise(F.array().cast("array<string>"))
+    ))).otherwise(empty)
+    ns = F.col("_ns")
+    char_grams = F.when(F.col("_nsc") >= 2, F.array_sort(F.transform(
+        F.sequence(F.lit(1), F.col("_nsc").cast("int") - 1),
+        lambda i: ns.substr(i, F.lit(2)),
+    ))).otherwise(empty)
+    grams2 = F.when(F.col("guess_lang").isin(*CJK_LANGS), char_grams) \
+        .otherwise(tok_grams)
     step2g = step2.withColumn("_grams2", grams2) \
         .withColumn("_lines", F.split(raw, "\n"))
     zero = F.lit(0).cast("long")
@@ -371,13 +485,16 @@ def with_text_features(docs: DataFrame) -> DataFrame:
         .withColumn("dup_line_frac", dup_line_frac)
         .withColumn("top2gram_char_frac", top2_frac)
     )
-    len_score = F.when((nt >= 20) & (nt <= 1000), F.lit(1.0)) \
-        .when(nt >= 5, F.lit(0.5)).otherwise(F.lit(0.0))
+    len_score = F.when((ne >= 20) & (ne <= 1000), F.lit(1.0)) \
+        .when(ne >= 5, F.lit(0.5)).otherwise(F.lit(0.0))
     stop_score = F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+    # the mean-word-length band is a whitespace-token signal; for CJK a
+    # page is one giant "word", so the gate passes by script class
     word_len_score = F.when(
-        (F.col("mean_word_len") >= MEAN_WORD_LEN_BAND[0])
-        & (F.col("mean_word_len") <= MEAN_WORD_LEN_BAND[1]), F.lit(1.0)) \
-        .otherwise(F.lit(0.0))
+        F.col("guess_lang").isin(*CJK_LANGS)
+        | ((F.col("mean_word_len") >= MEAN_WORD_LEN_BAND[0])
+           & (F.col("mean_word_len") <= MEAN_WORD_LEN_BAND[1])),
+        F.lit(1.0)).otherwise(F.lit(0.0))
     symbol_score = F.when(
         F.col("symbol_ratio") <= MAX_SYMBOL_RATIO, F.lit(1.0)) \
         .otherwise(F.lit(0.0))
@@ -395,6 +512,7 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     return (
         step3.withColumn("quality_score", quality)
         .withColumn("fingerprint", F.md5(F.encode(normc, "UTF-8")))
-        .drop("_toks", "_grams2", "_lines", "_top2",
-              *[f"_r_{c}" for c in codes])
+        .drop("_toks", "_grams2", "_lines", "_top2", "_ns", "_nsc", "_na",
+              "_eff", *[f"_r_{c}" for c in codes],
+              *[f"_sc_{s}" for s in sorted(SCRIPT_RANGES)])
     )
