@@ -263,6 +263,41 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+# --- memoized feature expression tree (round 6) ---------------------------
+# Building the feature Column tree costs ~1.8-2.3 s of pure DRIVER time:
+# every F.when/F.col/HOF call is a py4j round-trip constructing a JVM
+# expression node, and the tree has thousands of nodes. The tree is
+# input-independent (it references fixed column names), so it is built
+# ONCE per process and re-applied to any DataFrame via withColumns —
+# measured construction drops from ~2.0 s to ~ms on every call after the
+# first, which every consumer (quality_scores, lang_id, token counts,
+# curate) pays per fresh DataFrame. Cache validity is keyed on the py4j
+# gateway identity: Column objects wrap JVM expression nodes that stay
+# valid across SparkSession stop/start in one JVM, but not across a JVM
+# restart (new gateway → rebuild).
+_FEATURE_CACHE: dict[str, object] = {}
+
+
+def _gateway_token() -> object:
+    try:  # classic mode: id of the live py4j gateway
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway  # noqa: SLF001 — public-enough singleton
+        return id(gw) if gw is not None else None
+    except Exception:  # pragma: no cover - connect mode has no gateway
+        return None
+
+
+def _memoized_stages(key: str, build) -> tuple:
+    tok = _gateway_token()
+    cached = _FEATURE_CACHE.get(key)
+    if cached is not None and cached[0] == tok:
+        return cached[1]
+    stages = build()
+    _FEATURE_CACHE[key] = (tok, stages)
+    return stages
+
+
 def with_text_features(docs: DataFrame) -> DataFrame:
     """documents → + (norm, n_tokens, guess_lang, n_stop, stop_ratio,
     mean_word_len, symbol_ratio, bullet_line_ratio, ellipsis_line_ratio,
@@ -302,18 +337,31 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     codegen expressions with an exact DuckDB mirror — line signals count
     over the RAW text (normalization collapses newlines).
     """
+    stages, drop = _memoized_stages("text_features",
+                                    _build_text_feature_stages)
+    out = docs
+    for stage in stages:
+        out = out.withColumns(stage)
+    return out.drop(*drop)
+
+
+def _build_text_feature_stages() -> tuple:
+    """The feature expression tree of :func:`with_text_features` as a
+    dependency-ordered list of withColumns dicts plus the temp-column
+    drop list. Values and final schema are identical to the pre-r6
+    sequential-withColumn form (the golden hashes pin this); the split
+    into stages exists so columns that reference earlier aliases land in
+    a later projection, exactly as the chained withColumn calls did.
+    """
     codes = sorted(LANG_MARKERS)
     # projection boundaries: norm (a regexp_replace) and the token array
     # are referenced by nearly every signal; as inlined Columns they
     # would be re-evaluated per reference (CollapseProject only keeps a
     # non-cheap alias materialized when it is referenced more than once
     # — exactly what these staged withColumns arrange)
-    step1 = (docs.withColumn("norm", norm_text("text"))
-             .withColumn("_toks", F.split(F.col("norm"), " ")))
     normc, toks, raw = F.col("norm"), F.col("_toks"), F.col("text")
     n_tokens = F.when(F.length(normc) == 0, F.lit(0)) \
         .otherwise(F.size(toks)).cast("long")
-    step2 = step1.withColumn("n_tokens", n_tokens)
     nt = F.col("n_tokens")
     # Unicode-script ratios: script code points / non-space chars. The
     # _na pre-check is one cheap any-non-ASCII scan so the six
@@ -321,13 +369,9 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     # pages — rlike exits at the first non-ASCII char; the ratio VALUES
     # are unchanged by the guard (an ASCII page counts 0 in every
     # class), so the oracle mirrors only the arithmetic.
-    step2 = (step2
-             .withColumn("_ns", F.replace(normc, F.lit(" "), F.lit("")))
-             .withColumn("_nsc", F.length(F.col("_ns")))
-             .withColumn("_na", normc.rlike(r"[^\x00-\x7F]")))
+    stage4: dict[str, Column] = {}
     for script in sorted(SCRIPT_RANGES):
-        step2 = step2.withColumn(
-            f"_sc_{script}",
+        stage4[f"_sc_{script}"] = (
             F.when(F.col("_na") & (F.col("_nsc") > 0),
                    F.regexp_count(normc, F.lit(SCRIPT_RANGES[script]))
                    / F.col("_nsc"))
@@ -336,8 +380,7 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     # single-pass token filter runs ONCE even though the argmax CASE
     # references every ratio twice (greatest + its own arm)
     for code in codes:
-        step2 = step2.withColumn(
-            f"_r_{code}",
+        stage4[f"_r_{code}"] = (
             F.when(nt > 0, marker_hits(toks, LANG_MARKERS[code]) / nt)
             .otherwise(F.lit(0.0)))
     best = F.greatest(*[F.col(f"_r_{c}") for c in codes])
@@ -352,14 +395,13 @@ def with_text_features(docs: DataFrame) -> DataFrame:
         guess = (F.when(cond, F.lit(lang_code)) if guess is None
                  else guess.when(cond, F.lit(lang_code)))
     assert guess is not None
-    step2 = step2.withColumn("guess_lang", guess.otherwise(latin))
+    guess_lang = guess.otherwise(latin)
 
     # effective token count: the CJK languages have no whitespace word
     # boundaries (a page is ~one giant "token"), so every per-token
     # signal uses non-space chars for them — char ≈ token in CJK
     eff = F.when(F.col("guess_lang").isin(*CJK_LANGS), F.col("_nsc")) \
         .otherwise(nt)
-    step2 = step2.withColumn("_eff", eff)
     ne = F.col("_eff")
 
     # language-aware stopword base (one lazily-evaluated CASE arm per
@@ -379,8 +421,7 @@ def with_text_features(docs: DataFrame) -> DataFrame:
         n_stop = (F.when(cond, hits) if n_stop is None
                   else n_stop.when(cond, hits))
     assert n_stop is not None
-    step2 = step2.withColumn("n_stop",
-                             n_stop.otherwise(stopword_hits(toks)))
+    n_stop = n_stop.otherwise(stopword_hits(toks))
 
     stop_ratio = F.round(
         F.when(ne > 0, F.col("n_stop") / ne).otherwise(F.lit(0.0)), 6)
@@ -446,8 +487,6 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     ))).otherwise(empty)
     grams2 = F.when(F.col("guess_lang").isin(*CJK_LANGS), char_grams) \
         .otherwise(tok_grams)
-    step2g = step2.withColumn("_grams2", grams2) \
-        .withColumn("_lines", F.split(raw, "\n"))
     zero = F.lit(0).cast("long")
     top = F.aggregate(
         F.col("_grams2"),
@@ -475,16 +514,6 @@ def with_text_features(docs: DataFrame) -> DataFrame:
                    / F.length(normc), F.lit(1.0)))
         .otherwise(F.lit(0.0)), 6)
 
-    step3 = (
-        step2g.withColumn("_top2", top)
-        .withColumn("stop_ratio", stop_ratio)
-        .withColumn("mean_word_len", mean_word_len)
-        .withColumn("symbol_ratio", symbol_ratio)
-        .withColumn("bullet_line_ratio", bullet_ratio)
-        .withColumn("ellipsis_line_ratio", ellipsis_ratio)
-        .withColumn("dup_line_frac", dup_line_frac)
-        .withColumn("top2gram_char_frac", top2_frac)
-    )
     len_score = F.when((ne >= 20) & (ne <= 1000), F.lit(1.0)) \
         .when(ne >= 5, F.lit(0.5)).otherwise(F.lit(0.0))
     stop_score = F.least(F.col("stop_ratio") * 4, F.lit(1.0))
@@ -509,10 +538,31 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     quality = F.round(
         (len_score + stop_score) / 2
         * word_len_score * symbol_score * line_score * repeat_score, 6)
-    return (
-        step3.withColumn("quality_score", quality)
-        .withColumn("fingerprint", F.md5(F.encode(normc, "UTF-8")))
-        .drop("_toks", "_grams2", "_lines", "_top2", "_ns", "_nsc", "_na",
-              "_eff", *[f"_r_{c}" for c in codes],
-              *[f"_sc_{s}" for s in sorted(SCRIPT_RANGES)])
-    )
+    stages = [
+        {"norm": norm_text("text")},
+        {"_toks": F.split(normc, " "),
+         "_ns": F.replace(normc, F.lit(" "), F.lit(""))},
+        {"n_tokens": n_tokens,
+         "_nsc": F.length(F.col("_ns")),
+         "_na": normc.rlike(r"[^\x00-\x7F]")},
+        stage4,
+        {"guess_lang": guess_lang},
+        {"_eff": eff,
+         "n_stop": n_stop,
+         "_grams2": grams2,
+         "_lines": F.split(raw, "\n")},
+        {"_top2": top,
+         "stop_ratio": stop_ratio,
+         "mean_word_len": mean_word_len,
+         "symbol_ratio": symbol_ratio,
+         "bullet_line_ratio": bullet_ratio,
+         "ellipsis_line_ratio": ellipsis_ratio,
+         "dup_line_frac": dup_line_frac},
+        {"top2gram_char_frac": top2_frac},
+        {"quality_score": quality,
+         "fingerprint": F.md5(F.encode(normc, "UTF-8"))},
+    ]
+    drop = ("_toks", "_grams2", "_lines", "_top2", "_ns", "_nsc", "_na",
+            "_eff", *[f"_r_{c}" for c in codes],
+            *[f"_sc_{s}" for s in sorted(SCRIPT_RANGES)])
+    return stages, drop
