@@ -543,6 +543,17 @@ def q_token_budget(spark, sf_dir):
         priority_col="n_chars")
 
 
+def q_token_budget_approx(spark, sf_dir):
+    # two-phase scale path: percentile_approx bucket histogram prunes
+    # the corpus to the ~budget-sized prefix BEFORE the per-stratum
+    # sort; rows are identical to the exact mode (same oracle)
+    from webextract.functions.hygiene import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir), budget_tokens=3000, strata_col="source",
+        priority_col="n_chars", mode="approx", buckets=8)
+
+
 def q_stratified_sample(spark, sf_dir):
     # deterministic mixture sampling: keep 50% of en, 25% of de, 10% of
     # everything else — salted-hash cutoffs, no rand(), rerun-identical
@@ -741,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "lm_familiarity": q_lm_familiarity,
         "token_budget": q_token_budget,
+        "token_budget_approx": q_token_budget_approx,
         "stratified_sample": q_stratified_sample,
         "events_confusion": q_events_confusion,
         "events_iou": q_events_iou,
@@ -1074,7 +1086,7 @@ def _stratified_sample_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     norm, url, corpus = _NORM_SQL, _URL_SQL, _CORPUS_SQL
-    return {
+    out = {
         "extract_text": f"""
             SELECT {url} AS url,
                    CASE WHEN length({norm}) >= 3 THEN {norm} ELSE '' END
@@ -1392,6 +1404,11 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
     }
+    # the approx (two-phase histogram) mode returns IDENTICAL rows to the
+    # exact mode by construction — the bucket pre-filter only shrinks the
+    # window-sort input — so it shares the exact oracle verbatim
+    out["token_budget_approx"] = out["token_budget"]
+    return out
 
 
 _ANN_PRELUDE = """

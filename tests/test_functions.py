@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import struct
 
 import numpy as np
 import pytest
@@ -1361,6 +1362,82 @@ def test_media_features_real_wav_and_avi(spark):
     assert "RIFF subtype" in rows[3]["error"]
 
 
+def _encode_webp_vp8(w, h):
+    # lossy still: 3-byte frame tag, 9D 01 2A sync, 14-bit LE dims
+    p = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) \
+        + b"\x00" * 4
+    return b"RIFF" + struct.pack("<I", 4 + 8 + len(p)) + b"WEBP" \
+        + b"VP8 " + struct.pack("<I", len(p)) + p
+
+
+def _encode_webp_vp8l(w, h):
+    # lossless: 0x2F signature then width-1/height-1 packed 14-bit LE
+    bits = (w - 1) | ((h - 1) << 14)
+    p = bytes([0x2F]) + bits.to_bytes(4, "little") + b"\x00"
+    pad = b"\x00" if len(p) & 1 else b""
+    return b"RIFF" + struct.pack("<I", 4 + 8 + len(p) + len(pad)) \
+        + b"WEBP" + b"VP8L" + struct.pack("<I", len(p)) + p + pad
+
+
+def _encode_webp_vp8x(w, h, n_frames=0):
+    # extended: flags byte (0x02 = animation), 24-bit canvas dims-1;
+    # n_frames > 0 appends that many ANMF chunks
+    flags = 0x02 if n_frames else 0x00
+    px = bytes([flags, 0, 0, 0]) + (w - 1).to_bytes(3, "little") \
+        + (h - 1).to_bytes(3, "little")
+    out = b"VP8X" + struct.pack("<I", len(px)) + px
+    for i in range(n_frames):
+        fp = bytes([i]) * 16  # frame subheader stand-in (walk skips it)
+        out += b"ANMF" + struct.pack("<I", len(fp)) + fp
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + out
+
+
+def test_webp_header_decode_pure():
+    from webextract.functions.multimodal import _real_decode, _webp_info
+
+    assert _webp_info(_encode_webp_vp8(640, 480)) == {
+        "width": 640, "height": 480, "n_frames": 1}
+    assert _webp_info(_encode_webp_vp8l(16383, 1)) == {
+        "width": 16383, "height": 1, "n_frames": 1}
+    assert _webp_info(_encode_webp_vp8x(1920, 1080, n_frames=3)) == {
+        "width": 1920, "height": 1080, "n_frames": 3}
+    # still image carrying a VP8X metadata chunk: coded VP8 dims win
+    vp8x_still = _encode_webp_vp8x(8, 8)
+    vp8 = _encode_webp_vp8(8, 8)
+    combined = b"RIFF" + struct.pack(
+        "<I", len(vp8x_still) - 8 + len(vp8) - 12) \
+        + b"WEBP" + vp8x_still[12:] + vp8[12:]
+    assert _webp_info(combined)["width"] == 8
+    with pytest.raises(ValueError):
+        _webp_info(b"RIFF\x04\x00\x00\x00WEBP")  # no image chunk
+    with pytest.raises(ValueError):  # corrupted VP8 sync code
+        bad = bytearray(_encode_webp_vp8(4, 4))
+        bad[23] ^= 0xFF
+        _webp_info(bytes(bad))
+    d = _real_decode(_encode_webp_vp8(12, 34), "image")
+    assert (d["width"], d["height"], d["n_frames"]) == (12, 34, 1)
+    assert d["sample_rate"] is None
+
+
+def test_media_features_real_webp(spark):
+    from webextract.functions.multimodal import media_features
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    lossy = _encode_webp_vp8(640, 480)
+    anim = _encode_webp_vp8x(100, 50, n_frames=4)
+    rows = {r["media_id"]: r for r in media_features(
+        spark.createDataFrame([
+            Row(media_id=1, payload=lossy, kind="image"),
+            Row(media_id=2, payload=anim, kind="image"),
+        ]), backend="real").collect()}
+    assert rows[1]["error"] is None
+    assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
+    assert rows[1]["digest"] == hashlib.md5(lossy).hexdigest()
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_frames"]) \
+        == (100, 50, 4)
+
+
 def test_media_transform_real_pcm_sample(spark):
     import numpy as np_
 
@@ -1480,6 +1557,53 @@ def test_token_budget_sample(spark):
     assert out[2]["cum_tokens"] == 6
     assert out[5]["cum_tokens"] == 2  # id 5 fills first on the tie
     assert 4 not in out  # boundary doc never partially included
+
+
+def test_token_budget_approx_matches_exact(spark):
+    # the two-phase histogram path must return IDENTICAL rows to the
+    # exact window pass — bucket-edge placement is a performance knob
+    # only. Sweep budgets across empty/partial/total keep-sets and
+    # bucket counts coarser and finer than the stratum sizes.
+    from webextract.functions.hygiene import token_budget_sample
+
+    rows = [
+        Row(doc_id=i,
+            src=["a", "b", "c"][i % 3],
+            prio=(i * 7) % 23,           # collisions -> priority ties
+            text=" ".join(f"w{j}" for j in range((i * 13) % 29 + 1)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows).repartition(7)
+    for budget in (0, 1, 40, 200, 10_000):
+        exact = token_budget_sample(
+            docs, budget_tokens=budget, strata_col="src",
+            priority_col="prio").collect()
+        for buckets in (2, 8, 64):
+            approx = token_budget_sample(
+                docs, budget_tokens=budget, strata_col="src",
+                priority_col="prio", mode="approx",
+                buckets=buckets).collect()
+            assert sorted(map(tuple, approx)) == sorted(map(tuple, exact)), \
+                (budget, buckets)
+
+
+def test_token_budget_approx_prunes_before_sort(spark):
+    # plan shape: the approx mode's final window sort must consume the
+    # semi-joined candidate slice, not the full corpus — no
+    # single-stratum global sort over all rows (the 100 TB bottleneck)
+    from webextract.functions.hygiene import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, src="s", prio=i, text="a b c") for i in range(50)])
+    plan = token_budget_sample(
+        docs, budget_tokens=10, strata_col="src", priority_col="prio",
+        mode="approx")._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "LeftSemi" in plan
+    # the candidate semi join sits BELOW the running-sum window: the
+    # first (outermost) Window in the optimized plan has the join in
+    # its subtree
+    assert plan.index("Window") < plan.index("LeftSemi")
 
 
 def test_lm_familiarity_scores(spark):

@@ -286,7 +286,9 @@ def with_lm_familiarity(docs: DataFrame, model: DataFrame,
 def token_budget_sample(docs: DataFrame, budget_tokens: int,
                         strata_col: str, priority_col: str,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        mode: str = "exact",
+                        buckets: int = 32) -> DataFrame:
     """Budgeted mixture fill: keep documents per stratum in priority
     order until the stratum's cumulative token count would exceed
     ``budget_tokens`` — how a training-mix recipe ("15B tokens of
@@ -297,24 +299,65 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
     depend on partitioning. The boundary doc that would cross the
     budget is dropped (cum_tokens <= budget holds for every output).
 
-    Plan: one hash exchange on the stratum + an in-partition sort for
-    the running sum — exact and fine while each stratum fits a
-    partition's sort spill. At 10^12 docs with a handful of strata the
-    per-stratum sort is the bottleneck; the scale path is two-phase:
-    approximate the priority cutoff with ``percentile_approx`` on the
-    token-weighted priority distribution, filter to ~budget, and run
-    this exact pass on the (now small) boundary slice.
+    ``mode="exact"``: one hash exchange on the stratum + an
+    in-partition sort for the running sum — fine while each stratum
+    fits a partition's sort spill. At 10^12 docs with a handful of
+    strata that per-stratum sort of the WHOLE corpus is the
+    bottleneck, and the kept set is typically a tiny prefix of it
+    (15B tokens out of 100T).
+
+    ``mode="approx"`` is the two-phase scale path and returns the
+    IDENTICAL rows (same oracle): bucket each stratum's priority range
+    with ``percentile_approx`` edges, aggregate token mass per bucket
+    (map-side combine, no row sort), keep only the candidate buckets
+    whose tokens-before-bucket is <= budget — every kept doc must lie
+    in one, because the exact keep-set is a priority prefix and any
+    doc in a later bucket already has more than ``budget_tokens``
+    ahead of it — then run the exact windowed pass over that
+    ~budget-sized slice. Bucket-edge placement only affects the size
+    of the boundary slice, never the result, so percentile_approx's
+    sketch accuracy is a pure performance knob. ``priority`` must be
+    non-null in both modes (the exact window would order nulls last;
+    the histogram join gives them no bucket).
     """
     from pyspark.sql import Window
 
     from webextract.functions.text import norm_text, token_count
 
     n_tok = token_count(norm_text(text_col))
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(strata_col).alias("stratum"),
+                       F.col(priority_col),
+                       n_tok.alias("n_tokens"))
+    if mode == "approx":
+        prio = F.col(priority_col)
+        qs = [i / buckets for i in range(1, buckets)]
+        edges = base.groupBy("stratum").agg(
+            F.percentile_approx(prio, qs).alias("_edges"))
+        # bucket 0 = best priority: the count of edges strictly above
+        # this doc's priority (edges ascend, priority sorts descending)
+        bucketed = (base.join(F.broadcast(edges), "stratum")
+                    .withColumn("_bucket",
+                                F.size(F.filter(F.col("_edges"),
+                                                lambda e: e > prio)))
+                    .drop("_edges"))
+        hist = (bucketed.groupBy("stratum", "_bucket")
+                .agg(F.sum("n_tokens").alias("_btok"))
+                .withColumn("_before",
+                            F.coalesce(F.sum("_btok").over(
+                                Window.partitionBy("stratum")
+                                .orderBy("_bucket")
+                                .rowsBetween(Window.unboundedPreceding,
+                                             -1)), F.lit(0)))
+                .filter(F.col("_before") <= budget_tokens)
+                .select("stratum", "_bucket"))
+        base = (bucketed.join(F.broadcast(hist), ["stratum", "_bucket"],
+                              "left_semi")
+                .drop("_bucket"))
+    elif mode != "exact":
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
     return (
-        docs.select(F.col(id_col).alias("id"),
-                    F.col(strata_col).alias("stratum"),
-                    F.col(priority_col),
-                    n_tok.alias("n_tokens"))
+        base
         .withColumn("cum_tokens",
                     F.sum("n_tokens").over(
                         Window.partitionBy("stratum")

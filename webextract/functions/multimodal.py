@@ -229,6 +229,58 @@ def _wav_info(b: bytes) -> tuple[dict, int, int, int]:
     return info, data_off, data_size, balign
 
 
+def _webp_info(b: bytes) -> dict:
+    """RIFF/WEBP header walk (WebP container spec + VP8/VP8L bitstream
+    headers): width/height from the first image chunk, n_frames from
+    ANMF chunks when the VP8X animation flag is set. Covers the three
+    container layouts of the modern crawl image mix — 'VP8 ' (lossy:
+    sync code 9D 01 2A then 14-bit dims), 'VP8L' (lossless: 0x2F
+    signature then packed 14-bit dims-minus-one) and 'VP8X' (extended:
+    24-bit canvas dims-minus-one). Header-only, bounded by the payload
+    length; pixel decode stays behind the ``decoder=`` seam like the
+    other native codecs."""
+    if len(b) < 12 or b[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos, out, animated = 12, None, False
+    n_anmf = 0
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        p = b[pos + 8:pos + 8 + size]
+        if cid == b"VP8X" and len(p) >= 10:
+            animated = bool(p[0] & 0x02)
+            w = 1 + int.from_bytes(p[4:7], "little")
+            h = 1 + int.from_bytes(p[7:10], "little")
+            if out is None:
+                out = {"width": _sane(w, _MAX_DIM, "width"),
+                       "height": _sane(h, _MAX_DIM, "height"),
+                       "n_frames": 1}
+        elif cid == b"VP8 " and len(p) >= 10:
+            if p[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 chunk missing frame sync code")
+            w = (p[6] | p[7] << 8) & 0x3FFF
+            h = (p[8] | p[9] << 8) & 0x3FFF
+            out = {"width": _sane(w, _MAX_DIM, "width"),
+                   "height": _sane(h, _MAX_DIM, "height"), "n_frames": 1}
+            break  # still image: first image chunk is authoritative
+        elif cid == b"VP8L" and len(p) >= 5:
+            if p[0] != 0x2F:
+                raise ValueError("VP8L chunk missing signature byte")
+            bits = int.from_bytes(p[1:5], "little")
+            out = {"width": _sane((bits & 0x3FFF) + 1, _MAX_DIM, "width"),
+                   "height": _sane(((bits >> 14) & 0x3FFF) + 1,
+                                   _MAX_DIM, "height"), "n_frames": 1}
+            break
+        elif cid == b"ANMF":
+            n_anmf += 1
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if out is None:
+        raise ValueError("WEBP missing VP8/VP8L/VP8X image chunk")
+    if animated:
+        out["n_frames"] = _sane(max(n_anmf, 1), _MAX_FRAMES, "frame count")
+    return out
+
+
 def _avi_info(b: bytes) -> dict:
     """RIFF/AVI main-header walk (the 'avih' chunk inside LIST/hdrl):
     width/height, total frame count and duration from the per-frame
@@ -395,6 +447,9 @@ def _real_decode(payload: bytes, kind: str) -> dict:
             return base
         if sub == b"AVI ":
             base.update(_avi_info(payload))
+            return base
+        if sub == b"WEBP":
+            base.update(_webp_info(payload))
             return base
         raise ValueError(f"unsupported RIFF subtype {sub!r}")
     for magic, parse in _SNIFFERS:
