@@ -106,6 +106,170 @@ def test_pdf_length_mismatch_falls_back_to_scan():
     assert extract_pdf("u", pdf).text == "scan fallback text"
 
 
+def _pdf_stream_obj(body: bytes, filter_decl: bytes) -> bytes:
+    return (b"%PDF-1.4\n2 0 obj << /Length " + str(len(body)).encode()
+            + filter_decl + b" >>\nstream\n" + body
+            + b"\nendstream\nendobj\n%%EOF\n")
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    # TIFF/PDF-flavor LZW: MSB-first packing, 9-bit start, Clear=256,
+    # EOD=257, EarlyChange=1 (width bumps at 511/1023/2047)
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    emit(256)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    # literal-only RunLength encoding (always valid, never shorter)
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def test_pdf_filter_ascii_hex():
+    import binascii
+
+    stream = b"BT /F1 11 Tf 0 0 Td (ascii hex payload text) Tj ET"
+    body = binascii.hexlify(stream)
+    # whitespace inside, odd trailing digit via upper/lower mix, > EOD
+    body = body[:10] + b"\n " + body[10:].upper() + b">"
+    pdf = _pdf_stream_obj(body, b" /Filter /ASCIIHexDecode")
+    assert extract_pdf("u", pdf).text == "ascii hex payload text"
+
+
+def test_pdf_filter_ascii85():
+    import base64
+
+    stream = b"BT /F1 11 Tf 0 0 Td (ascii eighty five text) Tj ET"
+    body = base64.a85encode(stream) + b"~>"
+    pdf = _pdf_stream_obj(body, b" /Filter /ASCII85Decode")
+    assert extract_pdf("u", pdf).text == "ascii eighty five text"
+
+
+def test_pdf_filter_lzw_roundtrip():
+    from webextract.pdf_extract import _lzw
+
+    # exercise width growth past 9/10 bits and the KwKwK case
+    data = (b"BT /F1 11 Tf 0 0 Td (lzw compressed stream text) Tj ET "
+            * 40) + b"aaaaaaa"
+    assert _lzw(_lzw_encode(data)) == data
+    pdf = _pdf_stream_obj(
+        _lzw_encode(b"BT /F1 11 Tf 0 0 Td (lzw text here) Tj ET"),
+        b" /Filter /LZWDecode")
+    assert extract_pdf("u", pdf).text == "lzw text here"
+    # corrupt stream (out-of-range code) skips, stays total
+    assert _lzw(b"\xff\xff\xff\xff") is None
+
+
+def test_pdf_filter_run_length():
+    stream = b"BT /F1 11 Tf 0 0 Td (run length text) Tj ET"
+    pdf = _pdf_stream_obj(_rle_encode(stream),
+                          b" /Filter /RunLengthDecode")
+    assert extract_pdf("u", pdf).text == "run length text"
+    from webextract.pdf_extract import _run_length
+
+    # repeat runs + truncated literal totality
+    assert _run_length(b"\xfex\x00y\x80") == b"xxxy"  # 257-254=3 repeats
+    assert _run_length(b"\x05ab") is None
+
+
+def test_pdf_filter_chain_ascii85_flate():
+    # the canonical chain: ASCII transport wrapping Flate compression —
+    # /Filter [/ASCII85Decode /FlateDecode] applies left to right
+    import base64
+    import zlib
+
+    stream = b"BT /F1 11 Tf 0 0 Td (chained filters text) Tj ET"
+    body = base64.a85encode(zlib.compress(stream, 6)) + b"~>"
+    pdf = _pdf_stream_obj(
+        body, b" /Filter [/ASCII85Decode /FlateDecode]")
+    assert extract_pdf("u", pdf).text == "chained filters text"
+
+
+def test_pdf_unsupported_filter_and_predictor_skip_keep_rest():
+    import zlib
+
+    bad1 = _pdf_stream_obj(b"\x00" * 8, b" /Filter /Crypt")
+    good = zlib.compress(b"BT /F1 11 Tf 0 0 Td (survivor text) Tj ET", 6)
+    bad2 = _pdf_stream_obj(
+        good, b" /Filter /FlateDecode "
+              b"/DecodeParms << /Predictor 12 /Columns 4 >>")
+    ok = _pdf_stream_obj(good, b" /Filter /FlateDecode")
+    pdf = (b"%PDF-1.4\n" + bad1[len(b"%PDF-1.4\n"):-6]
+           + bad2[len(b"%PDF-1.4\n"):-6] + ok[len(b"%PDF-1.4\n"):])
+    r = extract_pdf("u", pdf)
+    assert r.text == "survivor text"
+
+
+def test_pdf_images_extracts_embedded_jpeg():
+    import base64
+
+    from webextract.pdf_extract import pdf_images
+    from test_jpeg import encode_jpeg
+
+    jpg = encode_jpeg(8, 8, bytes([120, 60, 200]) * 64, nch=3)
+    direct = _pdf_stream_obj(jpg, b" /Subtype /Image /Filter /DCTDecode")
+    assert pdf_images(direct) == [jpg]
+    # DCT behind an ASCII85 transport wrapper: wrapper peeled
+    wrapped = _pdf_stream_obj(
+        base64.a85encode(jpg) + b"~>",
+        b" /Filter [/ASCII85Decode /DCTDecode]")
+    assert pdf_images(wrapped) == [jpg]
+    # the image stream must not leak into the text scan
+    assert extract_pdf("u", direct).text == ""
+    # and the decoded bytes feed the media JPEG decoder
+    from webextract.functions.jpeg import jpeg_pixels
+
+    w, h, nch, _pix = jpeg_pixels(pdf_images(direct)[0])
+    assert (w, h, nch) == (8, 8, 3)
+
+
+def test_pdf_flate_bomb_bounded():
+    # a 64 KiB deflate stream expanding to ~1 GiB must cap at
+    # _MAX_STREAM_BYTES and still extract its prefix, not OOM
+    import zlib
+
+    from webextract.pdf_extract import _MAX_STREAM_BYTES, _inflate
+
+    bomb = zlib.compress(b"\x00" * (1 << 28), 9)  # 256 MiB of zeros
+    out = _inflate(bomb)
+    assert out is not None and len(out) == _MAX_STREAM_BYTES
+
+
 def test_unescape():
     assert _unescape_pdf_string(rb"a\(b\)c\\d\n") == "a(b)c\\d\n"
     assert _unescape_pdf_string(rb"\101\102") == "AB"
