@@ -618,6 +618,62 @@ def q_curated_docs_transitive(spark, sf_dir):
                          threshold=0.8, transitive=True)
 
 
+def _crawl_corpus(spark, sf_dir):
+    """The duplicated corpus dressed as a crawl snapshot: PII planted on
+    the same modular subsets as q_pii_mask, plus a deterministic URL —
+    page = doc_id div 2 over five hosts (so consecutive ids are
+    re-crawls of the same page), odd ids the share-link variant
+    (uppercase scheme+host + a utm param) that canonicalization must
+    collapse onto the even twin."""
+    corpus = _dup_corpus(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = corpus.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@mail-example.com for info"))).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.concat(
+                F.lit(" call +31 20 555"), (did % 1000).cast("string"),
+                F.lit(" today"))).otherwise(F.lit("")),
+            F.when(did % 6 == 0, F.concat(
+                F.lit(" or +3120555"), (did % 1000).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0.1"))).otherwise(F.lit("")),
+        ))
+    page = F.expr("doc_id div 2")
+    host = F.element_at(F.array(*[F.lit(d) for d in _DOMAINS]),
+                        (page % 5 + 1).cast("int"))
+    url = (
+        F.when(did % 2 == 1, F.concat(
+            F.lit("HTTPS://"), F.upper(host), F.lit("/p/"),
+            page.cast("string"), F.lit("?utm_source=feed")))
+        .otherwise(F.concat(
+            F.lit("https://"), host, F.lit("/p/"), page.cast("string"))))
+    return planted.withColumn("url", url)
+
+
+def q_curate_full(spark, sf_dir):
+    # the COMPLETE production chain: canonical re-crawl collapse ->
+    # blocklist -> PII mask -> decontaminate -> quality gate -> exact
+    # dedup -> near-dup drop -> per-source token budget (best quality
+    # first) — every stage is the already-oracle-checked primitive,
+    # composed (see functions/curate.py:curate_full)
+    from webextract.functions.curate import curate_full
+    from webextract.functions.text import norm_text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.array_join(F.slice(F.split(norm_text("text"), " "), 1, 12), " ")
+        .alias("text"))
+    blocked = spark.sql("SELECT 'spam.seofarm.net' AS domain")
+    return curate_full(_crawl_corpus(spark, sf_dir), blocked, bench,
+                       min_quality=0.5, threshold=0.8, budget_tokens=3000)
+
+
 def q_block_scores(spark, sf_dir):
     # S8 debug-sink analog: per-block features + classifier decision,
     # including dropped boilerplate (threshold-tuning surface)
@@ -759,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "curated_docs": q_curated_docs,
         "curated_docs_transitive": q_curated_docs_transitive,
+        "curate_full": q_curate_full,
         "block_scores": q_block_scores,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -916,6 +973,19 @@ _PII_TEXT_SQL = """text
             || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END"""
 
 
+def _sql_masked(expr: str) -> str:
+    """The sequential PII regexp_replace chain over ``expr`` — built
+    from hygiene.PII_PATTERNS so the two engines can never drift
+    (DuckDB needs the explicit 'g' flag; Spark replaces globally by
+    default)."""
+    from webextract.functions.hygiene import PII_PATTERNS
+
+    masked = expr
+    for _, pattern, repl in PII_PATTERNS:
+        masked = f"regexp_replace({masked}, '{pattern}', '{repl}', 'g')"
+    return masked
+
+
 def _pii_sql() -> str:
     """Mirror of q_pii_mask: same planted-PII corpus, same sequential
     regexp_replace chain (DuckDB needs the explicit 'g' flag — Spark's
@@ -924,9 +994,7 @@ def _pii_sql() -> str:
     the two engines can never drift."""
     from webextract.functions.hygiene import PII_PATTERNS
 
-    masked = "text"
-    for _, pattern, repl in PII_PATTERNS:
-        masked = f"regexp_replace({masked}, '{pattern}', '{repl}', 'g')"
+    masked = _sql_masked("text")
     counts = ",\n               ".join(
         f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}s"
         for n, p, _ in PII_PATTERNS)
@@ -1010,13 +1078,13 @@ _VARIANT_URL_SQL = """CASE CAST(doc_id % 6 AS INTEGER)
      ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END"""
 
 
-def _canonical_urls_sql() -> str:
-    """Mirror of hygiene.canonicalize_url: split_part/list_filter CTE
-    chain over the same six URL variants."""
+def _sql_canonical_ctes(src: str) -> str:
+    """CTE chain ``u0→…→uc`` (mirror of hygiene.canonicalize_url) over
+    ``src``(…, url): ``uc`` carries every src column plus
+    ``canonical_url``."""
     return rf"""
-        WITH d AS (SELECT doc_id, {_VARIANT_URL_SQL} AS url
-                   FROM documents),
-        u0 AS (SELECT doc_id, url, split_part(url, '#', 1) AS base FROM d),
+        u0 AS (SELECT {src}.*, split_part(url, '#', 1) AS base
+               FROM {src}),
         u1 AS (SELECT *, regexp_extract(base,
                    '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)', 1) AS head
                FROM u0),
@@ -1029,13 +1097,24 @@ def _canonical_urls_sql() -> str:
         u5 AS (SELECT *, list_filter(string_split(qs, '&'),
                    p -> length(p) > 0 AND NOT regexp_matches(p,
                         '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')) AS params
-               FROM u4)
-        SELECT doc_id, url,
-               regexp_replace(path, '/$', '')
-               || CASE WHEN len(params) > 0
-                       THEN '?' || array_to_string(params, '&')
-                       ELSE '' END AS canonical_url
-        FROM u5
+               FROM u4),
+        uc AS (SELECT *,
+                   regexp_replace(path, '/$', '')
+                   || CASE WHEN len(params) > 0
+                           THEN '?' || array_to_string(params, '&')
+                           ELSE '' END AS canonical_url
+               FROM u5)
+    """
+
+
+def _canonical_urls_sql() -> str:
+    """Mirror of hygiene.canonicalize_url: split_part/list_filter CTE
+    chain over the same six URL variants."""
+    return f"""
+        WITH d AS (SELECT doc_id, {_VARIANT_URL_SQL} AS url
+                   FROM documents),
+        {_sql_canonical_ctes("d")}
+        SELECT doc_id, url, canonical_url FROM uc
     """
 
 
@@ -1384,6 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "media_pcm_sample": _media_transform_sql("pcm_sample"),
         "curated_docs": _curate_sql(),
         "curated_docs_transitive": _curate_sql(transitive=True),
+        "curate_full": _curate_full_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         # closed-form mirror of q_extract_fixture_pages: every projected
@@ -1590,6 +1670,90 @@ def _curate_sql(min_quality: float = 0.5, threshold: float = 0.8,
           FROM tok),
     {_sql_neardup_ctes(threshold)}
     {tail}
+    """
+
+
+def _curate_full_sql(min_quality: float = 0.5, threshold: float = 0.8,
+                     budget: int = 3000) -> str:
+    """Mirror of functions.curate.curate_full over the crawl-dressed
+    duplicated corpus (_crawl_corpus): canonical re-crawl collapse →
+    blocklist → PII mask → 8-gram decontamination → quality gate →
+    keep-first exact dedup → near-dup drop → per-source token budget
+    (best quality first, id tiebreak)."""
+    h = _H60.format(x="g")
+    host = ("CASE CAST(page % 5 AS INTEGER)"
+            + "".join(f" WHEN {i} THEN '{d}'"
+                      for i, d in enumerate(_DOMAINS[:-1]))
+            + f" ELSE '{_DOMAINS[-1]}' END")
+    host_re = r"'^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)'"
+    return f"""
+    WITH RECURSIVE corpus0 AS ({_CORPUS_SQL}),
+    cp AS (SELECT doc_id, {_PII_TEXT_SQL} AS text, source,
+                  doc_id // 2 AS page
+           FROM corpus0),
+    ch AS (SELECT *, {host} AS host FROM cp),
+    d AS (SELECT doc_id, text, source,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN 'HTTPS://' || upper(host) || '/p/'
+                           || CAST(page AS VARCHAR) || '?utm_source=feed'
+                      ELSE 'https://' || host || '/p/'
+                           || CAST(page AS VARCHAR) END AS url
+          FROM ch),
+    {_sql_canonical_ctes("d")},
+    cfirst AS (SELECT MIN(doc_id) AS doc_id FROM uc
+               GROUP BY canonical_url),
+    col AS (SELECT uc.doc_id, uc.text, uc.source, uc.url
+            FROM uc JOIN cfirst USING (doc_id)),
+    blk AS (SELECT doc_id, text, source FROM col
+            WHERE lower(regexp_extract(url, {host_re}, 1))
+                  NOT IN ('spam.seofarm.net')),
+    m AS (SELECT doc_id, {_sql_masked("text")} AS text, source FROM blk),
+    -- decontamination: benchmark = 12-token prefix of every 13th RAW doc
+    bnd AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    bdt AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM bnd),
+    bt AS (SELECT array_to_string(toks[1:12], ' ') AS btext
+           FROM bdt WHERE doc_id % 13 = 0),
+    btk AS (SELECT string_split(btext, ' ') AS toks FROM bt),
+    bg AS (SELECT DISTINCT {h} AS gh
+           FROM (SELECT unnest({_GRAMS8_SQL}) AS g FROM btk) u),
+    mn AS (SELECT doc_id, {_NORM_SQL} AS norm FROM m),
+    mt AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM mn),
+    dg AS (SELECT doc_id, {h} AS gh
+           FROM (SELECT DISTINCT doc_id, g FROM
+                   (SELECT doc_id, unnest({_GRAMS8_SQL}) AS g
+                    FROM mt) u) v),
+    contam AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gh)),
+    ccln AS (SELECT * FROM m
+             WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    -- quality gate -> exact dedup -> near-dup (mirror of _curate_sql,
+    -- with source carried through for the budget stage)
+    {_sql_quality_chain("ccln")},
+    pq AS (SELECT doc_id, source, norm, n_tokens, quality_score,
+                  fingerprint
+           FROM q WHERE quality_score >= {min_quality}),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM pq GROUP BY fingerprint),
+    s0 AS (SELECT pq.* FROM pq JOIN keep USING (doc_id)),
+    tok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM s0),
+    s AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END AS sh
+          FROM tok),
+    {_sql_neardup_ctes(threshold)},
+    surv AS (SELECT * FROM s0
+             WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+    -- token budget: best quality first, id tiebreak, boundary dropped
+    bcum AS (SELECT doc_id, source,
+                    CAST(n_tokens AS BIGINT) AS n_tokens,
+                    SUM(n_tokens) OVER (
+                        PARTITION BY source
+                        ORDER BY quality_score DESC, doc_id ASC)
+                        AS cum_tokens
+             FROM surv)
+    SELECT doc_id AS id, source AS stratum, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM bcum WHERE cum_tokens <= {budget}
     """
 
 
