@@ -157,3 +157,27 @@ def test_text_features_prune_to_consumed_columns(spark, docs):
     assert "_r_" not in optimized          # no language ratio columns
     assert "quality" not in optimized
     assert "ArrayFilter" not in optimized  # no marker passes at all
+
+
+def test_text_features_shared_arrays_single_evaluation(spark, docs):
+    # the quality_scores audit (round 6): every shared intermediate —
+    # the normalized text (regexp_replace), the token array
+    # (split(norm,' ')), the line array (split(text,'\n')) and the
+    # sorted 2-gram fold (aggregate) — must appear EXACTLY ONCE in the
+    # optimized plan. If CollapseProject ever inlines one of the staged
+    # aliases, a dozen gates re-run the split per reference and the
+    # query regresses ~2-12x (the round-5 curate bug class).
+    import re
+
+    from webextract.functions.text import with_text_features
+
+    q = with_text_features(docs).select(
+        "doc_id", "guess_lang", "n_tokens", "stop_ratio", "mean_word_len",
+        "symbol_ratio", "bullet_line_ratio", "ellipsis_line_ratio",
+        "dup_line_frac", "top2gram_char_frac", "quality_score",
+        "fingerprint")
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"regexp_replace\(", optimized)) == 1  # norm
+    assert len(re.findall(r"split\(norm", optimized)) == 1       # _toks
+    assert len(re.findall(r"split\(text", optimized)) == 1       # _lines
+    assert len(re.findall(r"aggregate\(", optimized)) == 1       # _top2
