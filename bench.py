@@ -75,6 +75,11 @@ HEADLINE = [
     "media_features", "media_resize", "media_frame_sample",
     "media_pcm_sample",
     "ann_lsh_topk", "ann_ivf_topk",
+    # the composed production chain (canonicalize -> blocklist -> PII ->
+    # decontaminate -> quality -> dedup -> near-dup -> budget); at toy
+    # scale its wall time is AQE-stage overhead, not data (flat from
+    # sf0.01 to sf0.1), so treat it as a composition-overhead gauge
+    "curate_full",
 ]
 
 # the near-dup/curation family is timed as the staged pipeline it is in

@@ -164,7 +164,27 @@ def main(argv: list[str] | None = None) -> int:
     hyg.add_argument("--salt", default="ws1",
                      help="sample: changing it draws an independent "
                           "sample")
+    met = sub.add_parser(
+        "metrics",
+        help="post-run counter summary: metrics table -> Prometheus "
+             "exposition text (same metric names as the serving "
+             "/metrics endpoint)")
+    met.add_argument("--metrics", required=True,
+                     help="metrics table parquet path")
+    met.add_argument("--run-id", default=None,
+                     help="summarize one run (default: every run, "
+                          "labeled, plus the all-runs total)")
     args = p.parse_args(argv)
+
+    if args.command == "metrics":
+        # no package shipping needed: one aggregation over a tiny table
+        from pyspark.sql import SparkSession
+
+        from .metrics import summarize_metrics
+
+        spark = SparkSession.builder.appName("webextract").getOrCreate()
+        print(summarize_metrics(spark, args.metrics, args.run_id), end="")
+        return 0
 
     from pyspark.sql import SparkSession
 
