@@ -728,6 +728,54 @@ def q_media_pcm_sample(spark, sf_dir):
                            sample_every=4)
 
 
+_PDF_MEDIA_N = 40
+
+
+def q_pdf_media_features(spark, sf_dir):
+    # the document→media bridge: fixture PDFs embed JPEGs as /DCTDecode
+    # XObject streams behind rotating transport filters (none / AHx /
+    # A85); pdf_media_table peels the wrappers and media_features(real)
+    # reads the recovered JPEG headers. The oracle derives every
+    # expected row closed-form from the fixture spec (pdf_media_spec),
+    # never from the extraction path — dims AND md5 digests must match,
+    # proving byte-exact recovery through the PDF filter chain.
+    ship_package(spark)
+    from webextract.fixtures import pdf_media_dataframe
+    from webextract.functions.multimodal import (
+        media_features, pdf_media_table,
+    )
+
+    imgs = pdf_media_table(pdf_media_dataframe(spark, _PDF_MEDIA_N))
+    return media_features(imgs, backend="real").select(
+        "media_id", "n_bytes", "digest", "width", "height", "error")
+
+
+def _pdf_media_sql() -> str:
+    """Closed-form mirror of q_pdf_media_features: expected (media_id,
+    n_bytes, digest, width, height) VALUES computed from the SAME
+    fixture spec the PDFs were built from (generator parameters, not
+    the extraction path)."""
+    import hashlib
+
+    from webextract.fixtures import pdf_media_spec
+
+    rows = []
+    for i in range(_PDF_MEDIA_N):
+        for j, (w, h, jpeg) in enumerate(pdf_media_spec(i)):
+            rows.append(f"({i * 64 + j}, {len(jpeg)}, "
+                        f"'{hashlib.md5(jpeg).hexdigest()}', {w}, {h})")
+    vals = ",\n              ".join(rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(n_bytes AS BIGINT) AS n_bytes, digest,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(NULL AS VARCHAR) AS error
+        FROM (VALUES {vals})
+             AS t(media_id, n_bytes, digest, width, height)
+    """
+
+
 # the testdata embeddings table contract: fixed 64-dim float vectors.
 # LSH hyperplanes / IVF centroid math are plan-time literals, so the dim
 # comes from the table contract instead of a driver-side probe action.
@@ -821,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
         "media_pcm_sample": q_media_pcm_sample,
+        "pdf_media_features": q_pdf_media_features,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "extract_fixture_pages": q_extract_fixture_pages,
@@ -1461,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _media_transform_sql("resize"),
         "media_frame_sample": _media_transform_sql("frame_sample"),
         "media_pcm_sample": _media_transform_sql("pcm_sample"),
+        "pdf_media_features": _pdf_media_sql(),
         "curated_docs": _curate_sql(),
         "curated_docs_transitive": _curate_sql(transitive=True),
         "curate_full": _curate_full_sql(),

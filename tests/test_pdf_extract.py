@@ -319,3 +319,52 @@ def test_pdf_indirect_length_never_truncates_body():
            + b"\nendstream\nendobj\n2 0 obj\n31\nendobj\n")
     r = extract_pdf("u://pdf", pdf)
     assert "indirect length body" in r.text
+
+
+def test_pdf_media_table_totality_and_recovery(spark):
+    # distributed doc->media bridge: transport wrappers peeled, JPEG
+    # bytes recovered exactly; corrupt/null docs contribute zero rows
+    from webextract.fixtures import (
+        make_pdf_with_images, pdf_media_dataframe, pdf_media_spec,
+    )
+    from webextract.functions.multimodal import (
+        media_features, pdf_media_table,
+    )
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    pdfs = pdf_media_dataframe(spark, 6).union(spark.createDataFrame(
+        [(100, b"%PDF-1.4 garbage no streams"), (101, None)],
+        "doc_id long, payload binary"))
+    rows = pdf_media_table(pdfs).collect()
+    expected = {(i * 64 + j): spec
+                for i in range(6)
+                for j, spec in enumerate(pdf_media_spec(i))}
+    assert {r["media_id"] for r in rows} == set(expected)
+    for r in rows:
+        w, h, jpeg = expected[r["media_id"]]
+        assert bytes(r["payload"]) == jpeg  # byte-exact through wrappers
+    feats = media_features(pdf_media_table(pdfs), backend="real").collect()
+    assert all(f["error"] is None for f in feats)
+    assert {(f["media_id"], f["width"], f["height"]) for f in feats} \
+        == {(m, w, h) for m, (w, h, _) in expected.items()}
+
+
+def test_pdf_media_table_caps_image_count(spark):
+    # bomb guard: a PDF with many embedded images yields at most the cap
+    from webextract.functions.multimodal import pdf_media_table
+    from webextract.fixtures import _pdf_stream_obj, make_jpeg_stub
+    from webextract.pipeline import ship_package
+
+    ship_package(spark)
+    parts = [b"%PDF-1.4\n"]
+    for k in range(10):
+        parts.append(_pdf_stream_obj(
+            k + 1, make_jpeg_stub(8, 8, str(k).encode()), [b"DCTDecode"]))
+    pdf = b"".join(parts)
+    out = pdf_media_table(
+        spark.createDataFrame([(1, pdf)], "doc_id long, payload binary"),
+        max_images_per_doc=4).collect()
+    assert len(out) == 4
+    assert [r["image_index"] for r in sorted(out, key=lambda r: r["media_id"])] \
+        == [0, 1, 2, 3]

@@ -207,3 +207,89 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def make_jpeg_stub(width: int, height: int, fill: bytes = b"") -> bytes:
+    """Deterministic marker-only JPEG: SOI, an optional COM segment
+    carrying ``fill`` (varies the digest without varying the dims), a
+    1-component SOF0 with the given dims, EOI. Valid for every
+    header-level consumer (``multimodal._jpeg_dims``, exif-less crawl
+    tooling); there is deliberately no scan data — pixel decode is out
+    of scope for these fixtures."""
+    import struct
+
+    com = b""
+    if fill:
+        com = b"\xff\xfe" + struct.pack(">H", len(fill) + 2) + fill
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) \
+        + b"\x11\x00"
+    return b"\xff\xd8" + com + sof + b"\xff\xd9"
+
+
+def _pdf_stream_obj(num: int, body: bytes, filters: list[bytes]) -> bytes:
+    """One numbered PDF stream object; ``filters`` (outermost first) are
+    applied to ``body`` in reverse so the declared chain decodes back to
+    it."""
+    import base64
+    import binascii
+    import zlib
+
+    enc = body
+    for f in reversed(filters):
+        if f == b"FlateDecode":
+            enc = zlib.compress(enc, 6)
+        elif f == b"ASCIIHexDecode":
+            enc = binascii.hexlify(enc) + b">"
+        elif f == b"ASCII85Decode":
+            enc = base64.a85encode(enc) + b"~>"
+        elif f == b"DCTDecode":
+            pass  # terminal image codec: the body IS the JPEG bytes
+        else:
+            raise ValueError(f"fixture filter {f!r}")
+    filt = b""
+    if filters:
+        chain = b" ".join(b"/" + n for n in filters)
+        filt = b" /Filter [" + chain + b"]" if len(filters) > 1 \
+            else b" /Filter /" + filters[0]
+    return (str(num).encode() + b" 0 obj << /Length "
+            + str(len(enc)).encode() + filt + b" >>\nstream\n"
+            + enc + b"\nendstream\nendobj\n")
+
+
+def pdf_media_spec(i: int) -> list[tuple[int, int, bytes]]:
+    """The embedded images of fixture PDF ``i``, closed-form in ``i``:
+    1 + i%3 images; image j is (width, height, jpeg_bytes) with
+    width = 16*(1+(i+j)%8), height = 8*(1+(i*3+j)%8) and a COM filler
+    unique to (i, j). The oracle derives expected rows from THIS spec,
+    not from running the extraction path."""
+    out = []
+    for j in range(1 + i % 3):
+        w = 16 * (1 + (i + j) % 8)
+        h = 8 * (1 + (i * 3 + j) % 8)
+        out.append((w, h, make_jpeg_stub(w, h, f"img-{i}-{j}".encode())))
+    return out
+
+
+def make_pdf_with_images(i: int) -> bytes:
+    """Fixture PDF ``i``: one Flate text stream plus the
+    :func:`pdf_media_spec` images as /DCTDecode XObject streams, their
+    transport wrapper rotating none / ASCIIHex / ASCII85 by (i+j)%3 —
+    the three crawl-real embeddings of the same JPEG bytes."""
+    text = f"BT /F1 12 Tf 72 720 Td (Fixture doc {i}) Tj ET".encode()
+    parts = [b"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n",
+             _pdf_stream_obj(2, text, [b"FlateDecode"])]
+    wrappers = ([], [b"ASCIIHexDecode"], [b"ASCII85Decode"])
+    for j, (_, _, jpeg) in enumerate(pdf_media_spec(i)):
+        parts.append(_pdf_stream_obj(
+            3 + j, jpeg, list(wrappers[(i + j) % 3]) + [b"DCTDecode"]))
+    return b"".join(parts) + b"%%EOF\n"
+
+
+def pdf_media_dataframe(spark: SparkSession, n: int,
+                        num_partitions: int = 8) -> DataFrame:
+    """(doc_id, payload) fixture PDFs, rendered on executors from
+    indices (test-scale parallelize, same stance as pages_dataframe)."""
+    rdd = spark.sparkContext.parallelize(range(n), num_partitions)
+    return spark.createDataFrame(
+        rdd.map(lambda i: {"doc_id": i, "payload": make_pdf_with_images(i)}),
+        "doc_id long, payload binary")

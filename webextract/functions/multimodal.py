@@ -37,9 +37,9 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 MEDIA_FEATURES_SCHEMA = StructType([
@@ -953,3 +953,51 @@ def media_transform(media: DataFrame, op: str,
 
     slim = media.select("media_id", "payload", "kind")
     return slim.mapInPandas(transform_batches, MEDIA_TRANSFORM_SCHEMA)
+
+
+PDF_MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),   # doc_id * 64 + index
+    StructField("doc_id", LongType(), False),
+    StructField("image_index", IntegerType(), False),
+    StructField("payload", BinaryType(), True),   # the raw JPEG bytes
+    StructField("kind", StringType(), False),     # constant 'image'
+])
+
+
+def pdf_media_table(pdfs: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload",
+                    max_images_per_doc: int = 64) -> DataFrame:
+    """PDF rows → one row per embedded DCT (JPEG) image.
+
+    The crawl-pipeline bridge between the document path and the media
+    path: :func:`webextract.pdf_extract.pdf_images` peels transport
+    filters (ASCIIHex/85, Flate) off ``/DCTDecode`` XObject streams and
+    yields the raw JPEG bytes, which this op emits in
+    :func:`media_features`-ready shape (``media_id`` = doc_id × 64 +
+    image index, ``kind='image'``). mapInPandas (Arrow batches), per-doc
+    totality: a corrupt PDF contributes zero rows, never a task failure;
+    image count per doc is capped (bomb guard — a crafted PDF with
+    thousands of tiny streams can't blow up a batch).
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webextract.pdf_extract import pdf_images
+
+        for batch in it:
+            rows = []
+            for did, payload in zip(batch[id_col], batch[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    images = pdf_images(bytes(payload))
+                except Exception:
+                    continue  # corrupt container: skip the doc
+                for j, img in enumerate(images[:max_images_per_doc]):
+                    rows.append({"media_id": int(did) * 64 + j,
+                                 "doc_id": int(did), "image_index": j,
+                                 "payload": img, "kind": "image"})
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in PDF_MEDIA_SCHEMA.fields])
+
+    return pdfs.select(F.col(id_col).alias(id_col),
+                       F.col(payload_col).alias(payload_col)) \
+        .mapInPandas(batches, PDF_MEDIA_SCHEMA)
