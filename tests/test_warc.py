@@ -215,3 +215,41 @@ def test_parse_totality_on_arbitrary_bytes():
             assert isinstance(rows, list)
 
     check()
+
+
+def test_stream_warc_extraction_incremental_and_dedup(spark, tmp_path):
+    # the standing-query crawl topology: segment files LAND in a dir;
+    # each availableNow pass processes only unseen segments (checkpoint
+    # = the ledger), and first-seen state drops revisits across runs
+    from webextract.pipeline import ship_package
+    from webextract.streaming import stream_warc_extraction
+
+    ship_package(spark)
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (seg_dir / "seg-00001.warc.gz").write_bytes(gzip.compress(_warc_bytes()))
+
+    q = stream_warc_extraction(spark, str(seg_dir), out, ckpt,
+                               dedup_revisits=True)
+    q.awaitTermination(120)
+    first = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert set(first) == {"https://a.test/1", "https://a.test/2"}
+    assert "alpha page body text" in first["https://a.test/1"]["extracted_text"]
+
+    # second segment lands: one new url + a revisit of /1 (later date)
+    seg2 = (_record("response", "https://a.test/3", _http(HTML_B))
+            + _record("response", "https://a.test/1", _http(HTML_B),
+                      date="2024-02-03T05:00:00Z"))
+    (seg_dir / "seg-00002.warc").write_bytes(seg2)
+    q2 = stream_warc_extraction(spark, str(seg_dir), out, ckpt,
+                                dedup_revisits=True)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # segment 1 not re-emitted; revisit dropped
+    by_url = {r["url"]: r for r in rows}
+    assert set(by_url) == {"https://a.test/1", "https://a.test/2",
+                           "https://a.test/3"}
+    # /1 is still the FIRST crawl's extraction, not the revisit's
+    assert "alpha page body text" in by_url["https://a.test/1"]["extracted_text"]

@@ -99,7 +99,10 @@ def dedup_first_seen(pages_stream: DataFrame,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = PAGES_SCHEMA
+    # schema-generic: rows pass through with whatever columns arrived
+    # (full PAGES_SCHEMA from parquet drops, or the url/warc_ts/html
+    # slice a WARC segment stream carries)
+    out_schema = pages_stream.schema
     state_schema = "seen boolean"
     horizon_ms = (int(pd.Timedelta(revisit_horizon).total_seconds() * 1000)
                   if revisit_horizon else None)
@@ -219,3 +222,49 @@ def stream_span_rates(spark: SparkSession, input_path: str,
         .select(F.col("w.start").alias("window_start"), "content_kind",
                 "n_docs", "n_spans", "n_bytes_in")
     )
+
+
+def stream_warc_extraction(spark: SparkSession, input_path: str,
+                           output_path: str, checkpoint_path: str,
+                           cfg: ExtractConfig = DEFAULT_CONFIG,
+                           run_id: str = "stream-warc",
+                           available_now: bool = True,
+                           max_bytes: int = 1 << 30,
+                           max_files_per_trigger: int | None = None,
+                           dedup_revisits: bool = False,
+                           revisit_horizon: str | None = None,
+                           watermark: str = "10 minutes") -> StreamingQuery:
+    """Continuous crawl ingestion: WARC segment files landing in a
+    directory → extracted parquet, exactly-once per segment file.
+
+    The production Common-Crawl topology — a fetcher fleet drops
+    ``*.warc[.gz]`` segments, extraction runs behind it as a standing
+    query — composed from the engine's own stages: the batch WARC
+    parser (:func:`webextract.warc.read_warc_stream`, same per-file
+    totality/bomb guard), optional first-seen url dedup across
+    micro-batches (crawls revisit urls; ``dedup_revisits=True`` puts
+    :func:`dedup_first_seen`'s ``applyInPandasWithState`` in front of
+    the expensive parse), and the byte-identical batch extraction
+    closure. Restarting with the same checkpoint resumes; processed
+    segments never re-emit.
+    """
+    from .warc import read_warc_stream
+
+    rows = read_warc_stream(spark, input_path, max_bytes=max_bytes,
+                            max_files_per_trigger=max_files_per_trigger)
+    pages = rows.filter(F.col("url").isNotNull()) \
+        .select("url", "warc_ts", "html")
+    if dedup_revisits:
+        pages = dedup_first_seen(pages, revisit_horizon=revisit_horizon,
+                                 watermark=watermark)
+    extracted = pages.select("url", "html").mapInArrow(
+        make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -34,7 +34,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    BinaryType, StringType, StructField, StructType, TimestampType,
+    BinaryType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 WARC_SCHEMA = StructType([
@@ -177,20 +178,11 @@ def parse_warc_records(data: bytes, source_file: str = "",
     return rows
 
 
-def read_warc(spark: SparkSession, path: str,
-              max_bytes: int = 1 << 30,
-              record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
-              ) -> DataFrame:
-    """Directory/glob of WARC files → DataFrame(WARC_SCHEMA).
-
-    One task per file (``binaryFile`` never splits); parsing runs in
-    ``mapInPandas`` so record bytes cross into the JVM once, as Arrow
-    batches. ``max_bytes`` caps per-file decompression (bomb guard).
-    ``record_types`` opts into non-default WARC-Type kinds (e.g.
-    ``("metadata",)`` for WAT sidecars).
-    """
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
+def _make_parse_batches(max_bytes: int,
+                        record_types: tuple[str, ...]):
+    """The (path, content) → WARC_SCHEMA mapInPandas function, shared
+    verbatim by the batch and streaming sources — same totality
+    contract, same rows, either execution mode."""
     rtypes = tuple(record_types)
 
     def parse_batches(batches):
@@ -219,7 +211,57 @@ def read_warc(spark: SparkSession, path: str,
             pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True)
             yield pdf
 
-    return files.mapInPandas(parse_batches, WARC_SCHEMA)
+    return parse_batches
+
+
+def read_warc(spark: SparkSession, path: str,
+              max_bytes: int = 1 << 30,
+              record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+              ) -> DataFrame:
+    """Directory/glob of WARC files → DataFrame(WARC_SCHEMA).
+
+    One task per file (``binaryFile`` never splits); parsing runs in
+    ``mapInPandas`` so record bytes cross into the JVM once, as Arrow
+    batches. ``max_bytes`` caps per-file decompression (bomb guard).
+    ``record_types`` opts into non-default WARC-Type kinds (e.g.
+    ``("metadata",)`` for WAT sidecars).
+    """
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return files.mapInPandas(
+        _make_parse_batches(max_bytes, record_types), WARC_SCHEMA)
+
+
+# the binaryFile source's fixed schema — readStream requires it declared
+# (batch reads infer it; streaming sources must not infer)
+_BINARY_FILE_SCHEMA = StructType([
+    StructField("path", StringType(), False),
+    StructField("modificationTime", TimestampType(), False),
+    StructField("length", LongType(), False),
+    StructField("content", BinaryType(), True),
+])
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     max_bytes: int = 1 << 30,
+                     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming WARC source: crawl segments LANDING in a directory →
+    an unbounded DataFrame(WARC_SCHEMA) — the production Common-Crawl
+    shape (a fetcher drops ``*.warc.gz`` segment files; extraction runs
+    continuously behind it). Same parser, same per-file totality and
+    bomb guard as :func:`read_warc`; exactly-once per segment file via
+    the streaming checkpoint; ``max_files_per_trigger`` bounds
+    micro-batch size so one trigger never bites off more segments than
+    the cluster chews between checkpoints."""
+    reader = spark.readStream.format("binaryFile") \
+        .schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _make_parse_batches(max_bytes, record_types), WARC_SCHEMA)
 
 
 def read_warc_pages(spark: SparkSession, path: str,
