@@ -66,3 +66,18 @@ def test_metrics_summary_reconciles(spark, tmp_path):
     rows = {r["run_id"]: r for r in run_counters(metrics).collect()}
     assert rows[s2["run_id"]]["docs_total"] == 20
     assert rows[s2["run_id"]]["errors_total"] == 0
+
+
+def test_prometheus_rendering_exact_at_scale():
+    # '%g'-style rendering would round 12,345,678 to 1.23457e+07 —
+    # counters must render exactly at real corpus scale, and run_id is
+    # free text that needs label escaping
+    from webextract.metrics import _escape_label, _num
+
+    assert _num(12_345_678) == "12345678"
+    assert _num(10**14) == "100000000000000"
+    assert _num(0) == "0"
+    assert _num(1.5) == "1.5"
+    assert float(_num(123456.789)) == 123456.789
+    assert _escape_label('ab"c') == 'ab\\"c'
+    assert _escape_label("a\\b\nc") == "a\\\\b\\nc"

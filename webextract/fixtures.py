@@ -221,8 +221,10 @@ def make_jpeg_stub(width: int, height: int, fill: bytes = b"") -> bytes:
     com = b""
     if fill:
         com = b"\xff\xfe" + struct.pack(">H", len(fill) + 2) + fill
+    # SOF0 length 11 = 2 (len) + 1 (precision) + 4 (dims) + 1 (ncomp)
+    # + 3 (component id, sampling, quant-table id)
     sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) \
-        + b"\x11\x00"
+        + b"\x01\x11\x00"
     return b"\xff\xd8" + com + sof + b"\xff\xd9"
 
 

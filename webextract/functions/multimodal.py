@@ -979,6 +979,11 @@ def pdf_media_table(pdfs: DataFrame, id_col: str = "doc_id",
     image count per doc is capped (bomb guard — a crafted PDF with
     thousands of tiny streams can't blow up a batch).
     """
+    if not 0 < max_images_per_doc <= 64:
+        # media_id = doc_id * 64 + index: a cap past the stride would
+        # collide doc N's image 64 with doc N+1's image 0
+        raise ValueError("max_images_per_doc must be in 1..64")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from webextract.pdf_extract import pdf_images
 

@@ -279,11 +279,17 @@ _FEATURE_CACHE: dict[str, object] = {}
 
 
 def _gateway_token() -> object:
-    try:  # classic mode: id of the live py4j gateway
+    """A weakref to the live py4j gateway (not ``id()`` — CPython reuses
+    freed addresses, so an id captured from a dead gateway could
+    validate stale Column trees after a gateway restart; a weakref to
+    the old object dereferences to None instead)."""
+    try:  # classic mode: the py4j gateway singleton
+        import weakref
+
         from pyspark import SparkContext
 
         gw = SparkContext._gateway  # noqa: SLF001 — public-enough singleton
-        return id(gw) if gw is not None else None
+        return weakref.ref(gw) if gw is not None else None
     except Exception:  # pragma: no cover - connect mode has no gateway
         return None
 
@@ -291,7 +297,8 @@ def _gateway_token() -> object:
 def _memoized_stages(key: str, build) -> tuple:
     tok = _gateway_token()
     cached = _FEATURE_CACHE.get(key)
-    if cached is not None and cached[0] == tok:
+    if (cached is not None and cached[0] == tok
+            and (tok is None or tok() is not None)):
         return cached[1]
     stages = build()
     _FEATURE_CACHE[key] = (tok, stages)

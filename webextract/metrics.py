@@ -78,9 +78,27 @@ def prometheus_text(metrics: DataFrame, run_id: str | None = None) -> str:
         for r in rows:
             val = r[field] or 0
             total += val
-            lines.append(f'{name}{{run_id="{r["run_id"]}"}} {val:g}')
-        lines.append(f"{name} {total:g}")
+            label = _escape_label(r["run_id"])
+            lines.append(f'{name}{{run_id="{label}"}} {_num(val)}')
+        lines.append(f"{name} {_num(total)}")
     return "\n".join(lines) + "\n"
+
+
+def _num(val) -> str:
+    """Exposition-format number with NO precision loss: integral values
+    render as exact integers ('%g' would round docs_total=12,345,678 to
+    1.23457e+07 — silently wrong at real corpus scale), non-integral
+    ones with repr's full round-trip precision."""
+    f = float(val)
+    return str(int(f)) if f.is_integer() else repr(f)
+
+
+def _escape_label(value: str) -> str:
+    """Prometheus label-value escaping (backslash, quote, newline) —
+    run_id is caller-supplied free text and an unescaped quote would
+    invalidate the whole exposition file."""
+    return (str(value).replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n"))
 
 
 def summarize_metrics(spark: SparkSession, metrics_path: str,

@@ -41,6 +41,21 @@ def read_pages_stream(spark: SparkSession, input_path: str,
     return reader.parquet(input_path)
 
 
+def _start_parquet_sink(extracted: DataFrame, output_path: str,
+                        checkpoint_path: str,
+                        available_now: bool) -> StreamingQuery:
+    """The shared exactly-once parquet sink of every extraction stream."""
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_extraction(spark: SparkSession, input_path: str,
                       output_path: str, checkpoint_path: str,
                       cfg: ExtractConfig = DEFAULT_CONFIG,
@@ -58,15 +73,8 @@ def stream_extraction(spark: SparkSession, input_path: str,
     pages = read_pages_stream(spark, input_path, max_files_per_trigger)
     extracted = pages.select("url", "html").mapInArrow(
         make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
-    writer = (
-        extracted.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(extracted, output_path, checkpoint_path,
+                               available_now)
 
 
 def dedup_first_seen(pages_stream: DataFrame,
@@ -132,9 +140,15 @@ def dedup_first_seen(pages_stream: DataFrame,
             if first is None or (head["warc_ts"].iloc[0]
                                  < first["warc_ts"].iloc[0]):
                 first = head
-            tail_ms = _utc_ms(pdf["warc_ts"].iloc[-1])
-            if latest_ms is None or tail_ms > latest_ms:
-                latest_ms = tail_ms
+            # NaT-safe: WARC rows may carry a null warc_ts (unparseable
+            # WARC-Date) and NaT sorts last — _utc_ms(NaT) would yield a
+            # huge NEGATIVE epoch, collapsing the TTL to the watermark
+            # floor and re-emitting later revisits as first-seen
+            valid_ts = pdf["warc_ts"].dropna()
+            if len(valid_ts):
+                tail_ms = _utc_ms(valid_ts.iloc[-1])
+                if latest_ms is None or tail_ms > latest_ms:
+                    latest_ms = tail_ms
         emitted = state.exists
         if not emitted and first is not None:
             state.update((True,))
@@ -174,15 +188,8 @@ def stream_dedup_extraction(spark: SparkSession, input_path: str,
                                watermark=watermark)
     extracted = deduped.select("url", "html").mapInArrow(
         make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
-    writer = (
-        extracted.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(extracted, output_path, checkpoint_path,
+                               available_now)
 
 
 def stream_span_rates(spark: SparkSession, input_path: str,
@@ -259,12 +266,5 @@ def stream_warc_extraction(spark: SparkSession, input_path: str,
                                  watermark=watermark)
     extracted = pages.select("url", "html").mapInArrow(
         make_extract_batches(cfg, run_id), EXTRACTED_SCHEMA)
-    writer = (
-        extracted.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_parquet_sink(extracted, output_path, checkpoint_path,
+                               available_now)
