@@ -192,13 +192,14 @@ class ScalingChild:
             if line.startswith("{"):
                 return json.loads(line)
 
-    def run_once(self) -> float:
+    def run_once(self) -> tuple[float, float | None]:
         self.proc.stdin.write("run\n")
         self.proc.stdin.flush()
-        wall = self._read_json()["wall_sec"]
-        print(f"[bench] pinned local[{self.cores}]: {wall}s",
-              file=sys.stderr)
-        return wall
+        out = self._read_json()
+        wall, cpu = out["wall_sec"], out.get("cpu_sec")
+        print(f"[bench] pinned local[{self.cores}]: {wall}s "
+              f"(cpu {cpu}s)", file=sys.stderr)
+        return wall, cpu
 
     def close(self) -> None:
         try:
@@ -207,6 +208,37 @@ class ScalingChild:
             self.proc.wait(timeout=60)
         except Exception:
             self.proc.kill()
+
+
+def _tree_cpu_seconds(root_pid: int) -> float:
+    """utime+stime of ``root_pid`` plus all LIVE descendants (/proc
+    walk) — the Spark JVM and its python workers are children of the
+    scaling server. Slight undercount when a worker exits mid-run
+    (workers are reused, the JVM persists), disclosed with the metric.
+    """
+    hz = os.sysconf("SC_CLK_TCK")
+    stats: dict[int, tuple[int, float]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                st = f.read()
+        except OSError:
+            continue  # raced with process exit
+        rest = st[st.rindex(b")") + 2:].split()
+        stats[int(d)] = (int(rest[1]),
+                         (int(rest[11]) + int(rest[12])) / hz)
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0.0, [root_pid]
+    while stack:
+        pid = stack.pop()
+        if pid in stats:
+            total += stats[pid][1]
+        stack.extend(children.get(pid, ()))
+    return total
 
 
 def _scaling_server(cores: int, cpu_lo: int) -> None:
@@ -234,10 +266,18 @@ def _scaling_server(cores: int, cpu_lo: int) -> None:
     for line in sys.stdin:
         if line.strip() == "quit":
             break
+        cpu0 = _tree_cpu_seconds(os.getpid())
         t0 = time.perf_counter()
         noop_write(extract_dataframe(pages, opts=opts))
+        wall = time.perf_counter() - t0
         print(json.dumps(
-            {"wall_sec": round(time.perf_counter() - t0, 2)}), flush=True)
+            {"wall_sec": round(wall, 2),
+             # process-tree CPU seconds consumed by this run: the
+             # steal-immune work-partitioning control (a perfectly
+             # partitioned job burns the SAME total CPU at any core
+             # count; external cycle-steal inflates wall, never this)
+             "cpu_sec": round(_tree_cpu_seconds(os.getpid()) - cpu0, 2)}),
+            flush=True)
     spark.stop()
 
 
@@ -260,14 +300,23 @@ def interleaved_scaling(n_pairs: int, deadline_ok) -> dict:
             if i >= 3 and not deadline_ok():
                 truncated = True
                 break
-            w4 = c4.run_once()
-            w16 = c16.run_once()
+            w4, cpu4 = c4.run_once()
+            w16, cpu16 = c16.run_once()
             pairs.append({
                 "wall_4": w4, "wall_16": w16,
                 "ratio": round(w4 / w16 / 4, 3),
+                "cpu_4": cpu4, "cpu_16": cpu16,
+                # total-CPU overhead of 4x parallelism: ~1.0 = the job
+                # burns the same aggregate CPU at both widths (perfect
+                # work partitioning; wall-clock shortfall is then host
+                # cycle-steal / all-core turbo, which inflates wall but
+                # not CPU), >1 = coordination cost grows with width
+                "cpu_overhead": (round(cpu16 / cpu4, 3)
+                                 if cpu4 and cpu16 else None),
             })
             print(f"[bench] pair {i + 1}/{n_pairs}: "
-                  f"{w4}s -> {w16}s, eff {pairs[-1]['ratio']}",
+                  f"{w4}s -> {w16}s, eff {pairs[-1]['ratio']}, "
+                  f"cpu x{pairs[-1]['cpu_overhead']}",
                   file=sys.stderr)
     finally:
         n_docs = c4.n_docs
@@ -282,6 +331,10 @@ def interleaved_scaling(n_pairs: int, deadline_ok) -> dict:
         "n_docs": n_docs,
         "docs_per_sec_4": round(n_docs / med_w4, 1),
         "docs_per_sec_16": round(n_docs / med_w16, 1),
+        "median_cpu_overhead_16_vs_4": (round(statistics.median(
+            p["cpu_overhead"] for p in pairs
+            if p["cpu_overhead"] is not None), 3)
+            if any(p["cpu_overhead"] is not None for p in pairs) else None),
         "truncated_by_deadline": truncated,
     }
 
@@ -291,7 +344,7 @@ def throughput_run(cores: int, cpu_lo: int, n_timed: int = 2) -> dict:
     same pinned-child method; NOT part of the scaling-efficiency pair."""
     child = ScalingChild(cores, cpu_lo=cpu_lo)
     try:
-        wall = min(child.run_once() for _ in range(n_timed))
+        wall = min(child.run_once()[0] for _ in range(n_timed))
         return {"cores": cores, "n_docs": child.n_docs, "wall_sec": wall,
                 "docs_per_sec": round(child.n_docs / wall, 1)}
     finally:
@@ -492,6 +545,10 @@ def write_bench_md(scaling: dict, timings: dict[str, float]) -> None:
         f"| ceiling-normalized efficiency | **{norm}** |",
         f"| pure-Python extraction workload 4 -> 16 (no JVM) | "
         f"{scaling['workload_eff_4_to_16']} |",
+        f"| median total-CPU overhead of 16 vs 4 cores (steal-immune "
+        f"work-partitioning control: ~1.0 = same aggregate CPU at both "
+        f"widths, wall shortfall is host cycle-steal / turbo, not the "
+        f"plan) | **{sc.get('median_cpu_overhead_16_vs_4')}** |",
         f"| docs/sec @ 4 cores (median) | {sc['docs_per_sec_4']} |",
         f"| docs/sec @ 16 cores (median) | {sc['docs_per_sec_16']} |",
         f"| docs/sec @ 32 cores (min-of-2, headline throughput) | "
