@@ -530,10 +530,12 @@ def write_bench_md(scaling: dict, timings: dict[str, float]) -> None:
         "keep-the-better-window step in either direction (round 2's "
         "one-sided retry biased the headline and was removed).",
         "",
-        "| pair | wall@4 cores (s) | wall@16 cores (s) | efficiency |",
-        "|---|---|---|---|",
+        "| pair | wall@4 (s) | wall@16 (s) | efficiency | cpu@4 (s) | "
+        "cpu@16 (s) | cpu overhead |",
+        "|---|---|---|---|---|---|---|",
     ] + [
-        f"| {i + 1} | {p['wall_4']} | {p['wall_16']} | {p['ratio']} |"
+        f"| {i + 1} | {p['wall_4']} | {p['wall_16']} | {p['ratio']} | "
+        f"{p.get('cpu_4')} | {p.get('cpu_16')} | {p.get('cpu_overhead')} |"
         for i, p in enumerate(sc["pairs"])
     ] + [
         "",
