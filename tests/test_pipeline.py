@@ -302,3 +302,37 @@ def test_layout_mismatch_rejected(spark, pages, tmp_path):
         run_extraction(spark, pages, flat,
                        opts=PipelineOptions(num_partitions=2),
                        partition_by_date=True)
+
+
+def test_read_pages_jsonl(spark, tmp_path):
+    # the JSONL crawl-dump interchange shape: text dumps re-encode html,
+    # base64 dumps decode to the original bytes; extra keys never read
+    import base64
+    import gzip
+    import json
+
+    from webextract.pipeline import extract_dataframe, read_pages_jsonl
+
+    html = "<html><body><p>jsonl dump body text here</p></body></html>"
+    lines = [
+        json.dumps({"url": "https://j.test/1",
+                    "warc_ts": "2024-03-04T05:06:07Z",
+                    "html": html, "extra_key": 42}),
+        json.dumps({"url": "https://j.test/2", "html": None}),
+    ]
+    (tmp_path / "dump.jsonl.gz").write_bytes(
+        gzip.compress("\n".join(lines).encode()))
+    pages = read_pages_jsonl(spark, str(tmp_path / "dump.jsonl.gz"))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert bytes(rows["https://j.test/1"]["html"]).decode() == html
+    assert rows["https://j.test/1"]["warc_ts"] is not None
+    assert rows["https://j.test/2"]["html"] is None
+    out = extract_dataframe(pages).collect()
+    assert any("jsonl dump body text" in r["extracted_text"] for r in out)
+
+    b64 = [json.dumps({"url": "https://j.test/3",
+                       "html": base64.b64encode(html.encode()).decode()})]
+    (tmp_path / "b64.jsonl").write_text("\n".join(b64))
+    pages64 = read_pages_jsonl(spark, str(tmp_path / "b64.jsonl"),
+                               html_encoding="base64")
+    assert bytes(pages64.collect()[0]["html"]).decode() == html

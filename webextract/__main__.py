@@ -63,7 +63,8 @@ def _add_extract_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input", required=True,
                    help="pages parquet path or table name (or a WARC "
                         "directory/glob with --input-format warc)")
-    p.add_argument("--input-format", choices=("pages", "warc"),
+    p.add_argument("--input-format",
+                   choices=("pages", "warc", "jsonl", "jsonl-base64"),
                    default="pages",
                    help="'warc' parses raw (member-gzipped) WARC files "
                         "into pages rows before extraction")
@@ -201,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
             from .warc import read_warc_pages
 
             pages = read_warc_pages(spark, args.input)
+        elif args.input_format.startswith("jsonl"):
+            from .pipeline import read_pages_jsonl
+
+            enc = "base64" if args.input_format.endswith("base64") else "utf-8"
+            pages = read_pages_jsonl(spark, args.input, html_encoding=enc)
         else:
             pages = read_pages(spark, args.input)
         summary = run_extraction(spark, pages, args.output,

@@ -126,6 +126,31 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.schema(PAGES_SCHEMA).parquet(source)
 
 
+def read_pages_jsonl(spark: SparkSession, source: str,
+                     html_encoding: str = "utf-8") -> DataFrame:
+    """JSONL crawl-dump scan → the pages contract (url, warc_ts, html).
+
+    The other common interchange shape beside parquet/WARC: one JSON
+    object per line (Dolma/CC-derived dumps), gzip handled transparently
+    by the reader. JSON cannot carry bytes, so ``html`` arrives as a
+    string: ``html_encoding="utf-8"`` re-encodes it (text dumps),
+    ``"base64"`` decodes dumps that base64-wrap raw response bytes.
+    The schema is DECLARED, not inferred — inference would scan the
+    data twice and drift with the corpus (the engine's fixed-schema
+    stance, SURVEY §1.3); unknown keys are simply never read (column
+    pruning at the scan).
+    """
+    if html_encoding not in ("utf-8", "base64"):
+        raise ValueError("html_encoding must be 'utf-8' or 'base64'")
+    raw = spark.read.schema(
+        "url string, warc_ts timestamp, html string").json(source)
+    html = (F.unbase64("html") if html_encoding == "base64"
+            else F.encode("html", "utf-8"))
+    return raw.select(
+        "url", "warc_ts",
+        F.when(F.col("html").isNotNull(), html).alias("html"))
+
+
 def read_sink(spark: SparkSession, output: str,
               opts: PipelineOptions = PipelineOptions()) -> DataFrame | None:
     """Read the committed sink (table or path), or None if nothing was
