@@ -336,3 +336,27 @@ def test_read_pages_jsonl(spark, tmp_path):
     pages64 = read_pages_jsonl(spark, str(tmp_path / "b64.jsonl"),
                                html_encoding="base64")
     assert bytes(pages64.collect()[0]["html"]).decode() == html
+
+
+def test_run_manifest_written_and_reconciles(spark, pages, tmp_path):
+    # S10 manifest sink: one self-describing JSON per run beside the
+    # data, invisible to parquet discovery, reconciling schema + counts
+    from webextract.pipeline import read_run_manifest
+
+    out_dir = str(tmp_path / "extracted")
+    s1 = run_extraction(spark, pages.limit(10), out_dir,
+                        opts=PipelineOptions(num_partitions=2))
+    s2 = run_extraction(spark, pages, out_dir,
+                        opts=PipelineOptions(num_partitions=2))
+    m1 = read_run_manifest(spark, out_dir, s1["run_id"])
+    m2 = read_run_manifest(spark, out_dir, s2["run_id"])
+    assert m1["n_rows"] == 10 and m2["n_rows"] == N - 10
+    assert m1["config_hash"] == m2["config_hash"]
+    cols = {c["name"]: c["type"] for c in m1["columns"]}
+    assert cols["url"] == "string" and "spans" in cols
+    # the _manifests dir must NOT leak into sink reads or break resume
+    assert spark.read.parquet(out_dir).count() == N
+    s3 = run_extraction(spark, pages, out_dir,
+                        opts=PipelineOptions(num_partitions=2))
+    assert s3["rows_written"] == 0  # resume no-op: manifests don't
+    assert spark.read.parquet(out_dir).count() == N  # confuse the anti-join

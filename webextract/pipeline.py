@@ -31,6 +31,7 @@ disagree after a partial failure.
 
 from __future__ import annotations
 
+import json
 import subprocess
 import uuid
 from dataclasses import dataclass
@@ -403,4 +404,43 @@ def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
     else:
         n_parts = metrics.count()
     n_done = committed.count()
+    if not opts.sink_is_table:
+        write_run_manifest(spark, output_path, run_id=run_id, cfg=cfg,
+                           n_rows=n_done, n_partitions=n_parts,
+                           schema=committed_all.schema)
     return {"run_id": run_id, "rows_written": n_done, "partitions": n_parts}
+
+
+def write_run_manifest(spark: SparkSession, output_path: str, run_id: str,
+                       cfg: ExtractConfig, n_rows: int, n_partitions: int,
+                       schema) -> None:
+    """Per-run dataset manifest beside the sink (S10 — the recast of the
+    reference's ``info.json`` dataset manifest, ``data/preprocess.py:
+    783-792``): schema + row count + provenance as ONE self-describing
+    JSON record under ``{output}/_manifests/{run_id}`` — the underscore
+    prefix keeps it invisible to parquet partition discovery, exactly
+    like ``_SUCCESS``. A consumer can validate a delivered sink (schema
+    drift, truncated copy) without reading any data files."""
+    record = {
+        "run_id": run_id,
+        "n_rows": n_rows,
+        "n_partitions": n_partitions,
+        "git_hash": _git_hash(),
+        "config_hash": cfg.config_hash(),
+        "columns": [
+            {"name": f.name, "type": f.dataType.simpleString(),
+             "nullable": f.nullable} for f in schema.fields
+        ],
+    }
+    spark.createDataFrame([(json.dumps(record, sort_keys=True),)],
+                          "manifest string") \
+        .coalesce(1).write.mode("overwrite") \
+        .text(f"{output_path.rstrip('/')}/_manifests/{run_id}")
+
+
+def read_run_manifest(spark: SparkSession, output_path: str,
+                      run_id: str) -> dict:
+    """Read back one run's manifest (validation-side counterpart)."""
+    rows = spark.read.text(
+        f"{output_path.rstrip('/')}/_manifests/{run_id}").collect()
+    return json.loads(rows[0]["value"])
