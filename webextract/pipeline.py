@@ -144,12 +144,14 @@ def read_pages_jsonl(spark: SparkSession, source: str,
     if html_encoding not in ("utf-8", "base64"):
         raise ValueError("html_encoding must be 'utf-8' or 'base64'")
     raw = spark.read.schema(
-        "url string, warc_ts timestamp, html string").json(source)
+        "url string, warc_ts timestamp, html string, "
+        "text string, lang string").json(source)
     html = (F.unbase64("html") if html_encoding == "base64"
             else F.encode("html", "utf-8"))
     return raw.select(
         "url", "warc_ts",
-        F.when(F.col("html").isNotNull(), html).alias("html"))
+        F.when(F.col("html").isNotNull(), html).alias("html"),
+        "text", "lang")
 
 
 def read_sink(spark: SparkSession, output: str,
