@@ -1988,10 +1988,12 @@ def _sql_quality_chain(src: str) -> str:
                   ROUND(CASE WHEN eff > 0
                              THEN n_stop / CAST(eff AS DOUBLE)
                              ELSE 0.0 END, 6) AS stop_ratio,
-                  ROUND(CASE WHEN n_tokens > 0
-                             THEN (length(norm) - (n_tokens - 1))
-                                  / CAST(n_tokens AS DOUBLE)
-                             ELSE 0.0 END, 6) AS mean_word_len,
+                  CASE WHEN guess_lang IN ({cjk_in}) THEN NULL
+                       ELSE ROUND(CASE WHEN n_tokens > 0
+                                       THEN (length(norm) - (n_tokens - 1))
+                                            / CAST(n_tokens AS DOUBLE)
+                                       ELSE 0.0 END, 6)
+                  END AS mean_word_len,
                   ROUND(CASE WHEN eff > 0
                              THEN n_symbols / CAST(eff AS DOUBLE)
                              ELSE 0.0 END, 6) AS symbol_ratio,

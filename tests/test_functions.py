@@ -878,6 +878,38 @@ def test_curate_corpus_staged_candidates_match_fused(spark):
     assert via_pairs == fused
 
 
+def test_curate_full_stage_path_matches_local_checkpoint(spark, tmp_path):
+    """The distributed-safe clean-stage materialization (stage_path →
+    durable parquet, recomputable after executor loss) must produce the
+    same survivors as the local benchmarking default (localCheckpoint),
+    and must actually write the stage table."""
+    import __spark_entry__ as entrymod
+    from webextract.functions.curate import curate_full
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = entrymod._crawl_corpus(spark, sf_dir)
+    bench = entrymod._docs(spark, sf_dir).filter(
+        F.col("doc_id") % 13 == 0).select(
+        F.array_join(
+            F.slice(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")),
+                            " "), 1, 12), " ").alias("text"))
+    blocked = spark.sql("SELECT 'spam.seofarm.net' AS domain")
+
+    base = sorted(
+        tuple(r) for r in curate_full(
+            docs, blocked, bench, min_quality=0.5, threshold=0.8,
+            budget_tokens=3000).collect())
+    stage = str(tmp_path / "clean_stage")
+    staged = sorted(
+        tuple(r) for r in curate_full(
+            docs, blocked, bench, min_quality=0.5, threshold=0.8,
+            budget_tokens=3000, stage_path=stage).collect())
+    assert staged == base and len(base) > 0
+    # the stage table is a real durable parquet dataset, re-readable
+    clean = spark.read.parquet(stage)
+    assert clean.count() > 0 and "text" in clean.columns
+
+
 def test_cache_scope_releases(spark):
     from webextract.functions.cache import cache_scope
 

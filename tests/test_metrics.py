@@ -39,28 +39,35 @@ def test_metrics_summary_reconciles(spark, tmp_path):
     text = prometheus_text(metrics)
 
     # exposition format: HELP/TYPE per counter, one labeled sample per
-    # run, one unlabeled all-runs total
+    # run; the all-runs total lives under its own DISTINCT metric name so
+    # sum(webextract_docs_total) in PromQL never double-counts
     docs = _samples(text, "webextract_docs_total")
-    assert set(docs) == {s1["run_id"], s2["run_id"], None}
+    assert set(docs) == {s1["run_id"], s2["run_id"]}
     assert docs[s1["run_id"]] == 40
     assert docs[s2["run_id"]] == 20
-    assert docs[None] == 60
+    docs_all = _samples(text, "webextract_docs_all_runs_total")
+    assert docs_all == {None: 60}
 
     # counters reconcile with the table's own aggregation AND the sink
     agg = metrics.agg(
         F.sum("n_rows"), F.sum("n_failed"), F.sum("n_bytes_in"),
         F.count("*")).collect()[0]
-    assert docs[None] == agg[0] == spark.read.parquet(out_dir).count()
-    assert _samples(text, "webextract_errors_total")[None] == agg[1]
-    assert _samples(text, "webextract_bytes_in_total")[None] == agg[2]
-    assert _samples(text, "webextract_partitions_total")[None] == agg[3]
+    assert docs_all[None] == agg[0] == spark.read.parquet(out_dir).count()
+    assert _samples(
+        text, "webextract_errors_all_runs_total")[None] == agg[1]
+    assert _samples(
+        text, "webextract_bytes_in_all_runs_total")[None] == agg[2]
+    assert _samples(
+        text, "webextract_partitions_all_runs_total")[None] == agg[3]
     # serving-registry name parity: latency sum uses the shared name
     assert "webextract_latency_seconds_sum" in text
+    assert "webextract_latency_seconds_all_runs_sum" in text
 
     # run-scoped summary matches the per-run labeled sample
     scoped = summarize_metrics(spark, metrics_dir, run_id=s1["run_id"])
     assert _samples(scoped, "webextract_docs_total")[s1["run_id"]] == 40
-    assert _samples(scoped, "webextract_docs_total")[None] == 40
+    assert _samples(
+        scoped, "webextract_docs_all_runs_total")[None] == 40
 
     # the counter DataFrame itself: one row per run, correct totals
     rows = {r["run_id"]: r for r in run_counters(metrics).collect()}

@@ -112,9 +112,10 @@ def _pdf_stream_obj(body: bytes, filter_decl: bytes) -> bytes:
             + b"\nendstream\nendobj\n%%EOF\n")
 
 
-def _lzw_encode(data: bytes) -> bytes:
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
     # TIFF/PDF-flavor LZW: MSB-first packing, 9-bit start, Clear=256,
-    # EOD=257, EarlyChange=1 (width bumps at 511/1023/2047)
+    # EOD=257; EarlyChange=1 bumps the width one code early (511/1023/
+    # 2047), EarlyChange=0 at the table-full boundary (512/1024/2048)
     table = {bytes([i]): i for i in range(256)}
     next_code, width = 258, 9
     acc = nbits = 0
@@ -138,7 +139,7 @@ def _lzw_encode(data: bytes) -> bytes:
         emit(table[w])
         table[wc] = next_code
         next_code += 1
-        if next_code + 1 >= (1 << width) and width < 12:
+        if next_code + early >= (1 << width) and width < 12:
             width += 1
         w = bytes([b])
     if w:
@@ -193,6 +194,30 @@ def test_pdf_filter_lzw_roundtrip():
     assert extract_pdf("u", pdf).text == "lzw text here"
     # corrupt stream (out-of-range code) skips, stays total
     assert _lzw(b"\xff\xff\xff\xff") is None
+
+
+def test_pdf_filter_lzw_early_change_zero():
+    from webextract.pdf_extract import _lzw
+
+    # long enough to cross the 9->10 bit boundary, where the two width
+    # schedules diverge: an EarlyChange=0 stream decoded with the
+    # default schedule mis-reads every code past 510
+    data = (b"BT /F1 11 Tf 0 0 Td (early change zero stream) Tj ET "
+            * 40) + b"zzzzzzz"
+    body = _lzw_encode(data, early=0)
+    assert _lzw(body, early=0) == data
+    assert _lzw(body) != data  # default schedule must NOT silently match
+    pdf = _pdf_stream_obj(
+        _lzw_encode(b"BT /F1 11 Tf 0 0 Td (early zero text) Tj ET "
+                    * 40, early=0),
+        b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>")
+    assert extract_pdf("u", pdf).text == "\n".join(
+        ["early zero text"] * 40)
+    # out-of-spec EarlyChange value: skip the stream, stay total
+    pdf2 = _pdf_stream_obj(
+        _lzw_encode(b"BT /F1 11 Tf 0 0 Td (never seen) Tj ET"),
+        b" /Filter /LZWDecode /DecodeParms << /EarlyChange 2 >>")
+    assert extract_pdf("u", pdf2).text == ""
 
 
 def test_pdf_filter_run_length():

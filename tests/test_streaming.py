@@ -124,6 +124,48 @@ def test_stateful_first_seen_dedup_across_restarts(spark, tmp_path):
                    "u://c": "first crawl of c"}
 
 
+def test_first_seen_prefers_valid_timestamp_over_nat(spark, tmp_path):
+    """A null warc_ts row (unparseable WARC-Date) arriving first must not
+    pin the first-seen choice: NaT comparisons are always False, so
+    without the explicit preference a later valid-timestamp row could
+    never replace the NaT head and the emitted row would not be the
+    chronologically earliest."""
+    import datetime as dt
+    from webextract.streaming import stream_dedup_extraction
+
+    base = tmp_path / "in"
+    base.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(base / name))
+
+    t0 = dt.datetime(2024, 1, 1)
+    drop("d0.parquet", [
+        # NaT row listed first; the valid-timestamp row must win
+        ("u://a", None, b"<p>nat snapshot of a</p>", None, None),
+        ("u://a", t0, b"<p>dated snapshot of a</p>", None, None),
+        # and a NaT-only url still emits (its single row)
+        ("u://b", None, b"<p>nat only b</p>", None, None),
+    ])
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    # one row per Arrow chunk: the state function's pdfs iterator yields
+    # the NaT row as its OWN chunk before the dated one — the exact
+    # cross-chunk case where a NaT head must be replaceable
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        q = stream_dedup_extraction(spark, f"{base}/d0.parquet", out, cp)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(key, prev)
+    got = {r["url"]: r["extracted_text"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {"u://a": "dated snapshot of a",
+                   "u://b": "nat only b"}
+
+
 def test_stateful_dedup_event_time_ttl(spark, tmp_path):
     """revisit_horizon bounds the dedup state: a revisit INSIDE the
     horizon is dropped; once the watermark passes a url's TTL its state

@@ -131,6 +131,7 @@ def curate_full(docs: DataFrame, blocked: DataFrame, benchmark: DataFrame,
                 min_quality: float = 0.3, threshold: float = 0.8,
                 budget_tokens: int = 3000, budget_mode: str = "exact",
                 transitive: bool = False,
+                stage_path: str | None = None,
                 scope: CacheScope | None = None) -> DataFrame:
     """The complete production curation chain, one staged pipeline:
 
@@ -164,6 +165,13 @@ def curate_full(docs: DataFrame, blocked: DataFrame, benchmark: DataFrame,
     (id, stratum, n_tokens, cum_tokens), deterministic regardless of
     partitioning; the full chain is oracle-checked end to end
     (``__spark_entry__.oracle_sql()['curate_full']``).
+
+    ``stage_path`` materializes the post-hygiene ``clean`` stage to a
+    durable parquet table instead of a ``localCheckpoint``: checkpoint
+    blocks live on executors, so distributed runs (where an executor
+    loss must recompute, not fail the job) pass a path; local
+    benchmarking keeps the default in-memory lineage cut. Same rows
+    either way.
     """
     from .hygiene import (
         canonicalize_url, decontaminate, filter_blocklist,
@@ -191,9 +199,16 @@ def curate_full(docs: DataFrame, blocked: DataFrame, benchmark: DataFrame,
     # InMemoryRelation keeps that tree as its child — AQE re-analyzes
     # it once per downstream stage and the LSH self-joins reference it
     # ~50x (measured: 76 s / 16 MB plan strings at sf0.001 vs 35 s /
-    # 1.5 MB with the lineage cut). At cluster scale the equivalent is
-    # writing the stage table, as pipeline.py's sinks do.
-    clean = clean.localCheckpoint(eager=False)
+    # 1.5 MB with the lineage cut). localCheckpoint blocks live on
+    # executors, so on a real cluster an executor loss fails the job
+    # instead of recomputing — distributed runs pass ``stage_path`` and
+    # the clean stage is written to (and re-read from) durable storage,
+    # exactly as pipeline.py's sinks stage their tables.
+    if stage_path is not None:
+        clean.write.mode("overwrite").parquet(stage_path)
+        clean = docs.sparkSession.read.parquet(stage_path)
+    else:
+        clean = clean.localCheckpoint(eager=False)
     survivors = curate_corpus(clean, id_col=id_col, text_col=text_col,
                               min_quality=min_quality, threshold=threshold,
                               transitive=transitive, scope=sc)

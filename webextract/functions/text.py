@@ -336,7 +336,9 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     (:data:`CJK_CHAR_MARKERS`) over non-space chars, the length band
     runs over non-space chars, and the mean-word-length gate (a
     whitespace-token signal, meaningless for CJK) passes by script
-    class; ru/ar/hi keep the word-based path with their own sets.
+    class — the reported ``mean_word_len`` column is NULL for CJK rows
+    so the degenerate one-giant-token value never misleads downstream
+    consumers; ru/ar/hi keep the word-based path with their own sets.
 
     The web-text analog of the reference's mean-confidence provenance
     (A6, ``tooling/average_confidence.py``). fingerprint is the content
@@ -432,10 +434,16 @@ def _build_text_feature_stages() -> tuple:
 
     stop_ratio = F.round(
         F.when(ne > 0, F.col("n_stop") / ne).otherwise(F.lit(0.0)), 6)
-    # chars-per-token of the normalized text (spaces excluded)
-    mean_word_len = F.round(
-        F.when(nt > 0, (F.length(normc) - (nt - 1)) / nt)
-        .otherwise(F.lit(0.0)), 6)
+    # chars-per-token of the normalized text (spaces excluded); NULL for
+    # CJK-classified rows — a whitespace-token signal is meaningless when
+    # a page is ~one giant "token", and reporting the degenerate value
+    # would mislead downstream consumers of the feature column (the
+    # quality gate already bypasses the band by script class)
+    mean_word_len = F.when(
+        F.col("guess_lang").isin(*CJK_LANGS),
+        F.lit(None).cast("double")).otherwise(F.round(
+            F.when(nt > 0, (F.length(normc) - (nt - 1)) / nt)
+            .otherwise(F.lit(0.0)), 6))
     n_symbols = occurrences(normc, "#") + occurrences(normc, "...") \
         + occurrences(normc, "…")
     symbol_ratio = F.round(

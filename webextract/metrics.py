@@ -63,10 +63,15 @@ def prometheus_text(metrics: DataFrame, run_id: str | None = None) -> str:
     """Render per-run counters as Prometheus exposition text.
 
     One ``{run_id="..."}``-labeled sample per run per counter, plus an
-    unlabeled all-runs total — the shape a textfile-collector sidecar
-    ships after a batch job. Metric names match :mod:`webextract.serve`'s
-    registry where the semantics match, so dashboards aggregate the two
-    surfaces with one query.
+    all-runs total under its own DISTINCT metric name
+    (``…_all_runs_total`` / ``…_all_runs_sum``) — the shape a
+    textfile-collector sidecar ships after a batch job. Mixing an
+    unlabeled sample into the labeled series of one name is the known
+    exposition antipattern that double-counts every run under
+    ``sum(<name>)``; a separate name keeps both the per-run series and
+    the precomputed total aggregation-safe. Per-run metric names match
+    :mod:`webextract.serve`'s registry where the semantics match, so
+    dashboards aggregate the two surfaces with one query.
     """
     rows = sorted(run_counters(metrics, run_id).collect(),
                   key=lambda r: r["run_id"])
@@ -80,7 +85,11 @@ def prometheus_text(metrics: DataFrame, run_id: str | None = None) -> str:
             total += val
             label = _escape_label(r["run_id"])
             lines.append(f'{name}{{run_id="{label}"}} {_num(val)}')
-        lines.append(f"{name} {_num(total)}")
+        stem, suffix = name.rsplit("_", 1)  # _total / _sum stays last
+        all_name = f"{stem}_all_runs_{suffix}"
+        lines.append(f"# HELP {all_name} {help_text} (all runs)")
+        lines.append(f"# TYPE {all_name} counter")
+        lines.append(f"{all_name} {_num(total)}")
     return "\n".join(lines) + "\n"
 
 

@@ -231,12 +231,14 @@ def _run_length(body: bytes) -> bytes | None:
     return bytes(out)
 
 
-def _lzw(body: bytes) -> bytes | None:
+def _lzw(body: bytes, early: int = 1) -> bytes | None:
     """/LZWDecode (PDF 32000-1 §7.4.4, the TIFF flavor): MSB-first bit
     packing, 9-bit initial width, Clear=256, EOD=257, code width grows at
-    table sizes 511/1023/2047 (EarlyChange=1, the default). Distinct from
-    the GIF flavor in functions/multimodal.py, which packs LSB-first with
-    a variable minimum code size."""
+    table sizes 511/1023/2047 under ``early=1`` (the /EarlyChange default:
+    the width bumps one code early) or 512/1024/2048 under ``early=0``
+    (a stream declaring ``/DecodeParms <</EarlyChange 0>>``). Distinct
+    from the GIF flavor in functions/multimodal.py, which packs LSB-first
+    with a variable minimum code size."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width, prev = 9, None
@@ -269,7 +271,8 @@ def _lzw(body: bytes) -> bytes | None:
             # The decoder's table is one entry BEHIND the encoder's (its
             # append for a code happens on the NEXT read), hence +2: bump
             # when the encoder's next assignment would hit 1<<width - 1.
-            if len(table) + 2 >= (1 << width) and width < 12:
+            # EarlyChange=0 bumps one code later (512/1024/2048): +1.
+            if len(table) + 1 + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)  # no explicit EOD: tolerate, yield what decoded
 
@@ -292,6 +295,7 @@ _DECODERS = {
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 
 
 def _filter_chain(head: bytes) -> list[bytes]:
@@ -320,13 +324,19 @@ def _decode_stream(head: bytes, body: bytes) -> bytes | None:
     pm = _PREDICTOR_RE.search(head)
     if pm is not None and int(pm.group(1)) > 1:
         return None
+    # /DecodeParms <</EarlyChange 0>> changes the LZW width schedule;
+    # honored by parametrizing the decoder (1 is the spec default)
+    em = _EARLYCHANGE_RE.search(head)
+    early = int(em.group(1)) if em is not None else 1
+    if early not in (0, 1):
+        return None  # out-of-spec value: skip rather than mis-decode
     for name in chain:
         if name in _IMAGE_FILTERS:
             return None
         dec = _DECODERS.get(name)
         if dec is None:
             return None  # /Crypt or unknown: skip, keep the rest
-        body = dec(body)
+        body = dec(body, early) if dec is _lzw else dec(body)
         if body is None:
             return None
     return body

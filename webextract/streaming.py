@@ -135,11 +135,20 @@ def dedup_first_seen(pages_stream: DataFrame,
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values("warc_ts", kind="stable")
+            pdf = pdf.sort_values("warc_ts", kind="stable",
+                                  na_position="last")
             head = pdf.iloc[[0]]
-            if first is None or (head["warc_ts"].iloc[0]
-                                 < first["warc_ts"].iloc[0]):
+            # a NaT head (all-null-timestamp chunk) is replaceable by any
+            # valid-timestamp head: NaT comparisons are always False, so
+            # without this an early NaT row would pin `first` forever and
+            # the emitted first-seen row might not be the earliest
+            head_ts = head["warc_ts"].iloc[0]
+            if first is None:
                 first = head
+            elif not pd.isna(head_ts):
+                first_ts = first["warc_ts"].iloc[0]
+                if pd.isna(first_ts) or head_ts < first_ts:
+                    first = head
             # NaT-safe: WARC rows may carry a null warc_ts (unparseable
             # WARC-Date) and NaT sorts last — _utc_ms(NaT) would yield a
             # huge NEGATIVE epoch, collapsing the TTL to the watermark
