@@ -276,21 +276,30 @@ def q_lang_id(spark, sf_dir):
 
 
 def _mixed_docs(spark, sf_dir):
-    """Deterministic multilingual corpus: each doc labeled de/en/es/fr
-    gets a tail of that language's function words (10× the marker set,
-    enough to dominate the base text's English markers); other labels
-    keep the original text. Exactly mirrored in SQL (same CASE, same
-    literals)."""
+    """Deterministic multilingual corpus covering EVERY Latin-script
+    marker language: docs are routed by ``doc_id % (n_langs+1)`` (bigint
+    modulo, engine-exact) — slot i relabels the doc to the i-th sorted
+    marker language and appends a tail of that language's function words
+    (10× the marker set = 60 tokens; docs cap at ~100 tokens, so the
+    tail ratio 60/160 beats the base text's ≤0.22 English-marker ratio
+    on every doc); the last slot keeps the original row (the en/und
+    path). Exactly mirrored in SQL (same modulo, same literals). Before
+    round 7 this corpus was label-driven, which could never exercise
+    pt/it/pl/tr/vi/id — the labels don't exist in the documents table."""
     from webextract.functions.text import LANG_MARKERS
 
+    codes = sorted(LANG_MARKERS)
+    n = len(codes) + 1
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    expr = F.col("text")
-    for code in sorted(LANG_MARKERS):
+    slot = F.col("doc_id") % n
+    lang_expr, text_expr = F.col("lang"), F.col("text")
+    for i, code in enumerate(codes):
         words = " ".join(LANG_MARKERS[code] * 10)
-        expr = F.when(F.col("lang") == code,
-                      F.concat(F.col("text"), F.lit(" " + words))) \
-            .otherwise(expr)
-    return docs.withColumn("text", expr)
+        lang_expr = F.when(slot == i, F.lit(code)).otherwise(lang_expr)
+        text_expr = F.when(
+            slot == i, F.concat(F.col("text"), F.lit(" " + words))) \
+            .otherwise(text_expr)
+    return docs.withColumn("lang", lang_expr).withColumn("text", text_expr)
 
 
 def q_lang_id_mixed(spark, sf_dir):
@@ -2049,15 +2058,21 @@ def _sql_quality_chain(src: str) -> str:
 
 
 def _mixed_src_sql() -> str:
-    """Mirror of _mixed_docs: per-language marker tails as SQL literals."""
+    """Mirror of _mixed_docs: doc_id % (n_langs+1) routing, marker tails
+    as SQL literals, last slot passes the original row through."""
     from webextract.functions.text import LANG_MARKERS
 
-    cases = ""
-    for code in sorted(LANG_MARKERS):
+    codes = sorted(LANG_MARKERS)
+    n = len(codes) + 1
+    lang_case, text_case = "CASE", "CASE"
+    for i, code in enumerate(codes):
         words = " ".join(LANG_MARKERS[code] * 10)
-        cases += f" WHEN lang = '{code}' THEN text || ' {words}'"
-    return (f"(SELECT doc_id, lang, CASE{cases} ELSE text END AS text"
-            " FROM documents)")
+        lang_case += f" WHEN doc_id % {n} = {i} THEN '{code}'"
+        text_case += f" WHEN doc_id % {n} = {i} THEN text || ' {words}'"
+    lang_case += " ELSE lang END"
+    text_case += " ELSE text END"
+    return (f"(SELECT doc_id, {lang_case} AS lang,"
+            f" {text_case} AS text FROM documents)")
 
 
 def _lang_id_mixed_sql() -> str:

@@ -151,16 +151,54 @@ def test_lang_id_confusion_matrix(spark):
                             "es que los dias son largos"),
         Row(lang="fr", text="le chien et le chat ne sont pas dans la "
                             "maison et une femme est dans les jardins"),
+        # round-7 Latin broadening: the remaining top-15 web languages
+        Row(lang="pt", text="o cão e o gato não estão em casa para "
+                            "brincar e uma chuva forte cai sobre os "
+                            "telhados da cidade de lisboa"),
+        Row(lang="it", text="il cane e il gatto non sono in casa per "
+                            "giocare e una pioggia forte cade sopra i "
+                            "tetti di roma"),
+        Row(lang="pl", text="pies i kot nie są w domu oraz przez cały "
+                            "dzień pada deszcz który jest zimny i się "
+                            "robi późno"),
+        Row(lang="tr", text="bu köpek ve kedi bugün evde değil ve bir "
+                            "kuş için su ile ekmek koyduk"),
+        Row(lang="vi", text="con chó và con mèo của tôi không có ở nhà "
+                            "và một cơn mưa lớn rơi trên các mái nhà là "
+                            "chuyện thường"),
+        Row(lang="id", text="anjing dan kucing tidak ada di rumah ini "
+                            "dan hujan yang deras turun untuk membasahi "
+                            "atap dengan cepat"),
         Row(lang="zz", text="zyx wvu tsr qpo nml kji hgf edc ba"),
     ]
     feats = with_text_features(spark.createDataFrame(rows))
     got = {(r["lang"], r["guess_lang"]): 1
            for r in feats.select("lang", "guess_lang").collect()}
-    for lang in ("en", "de", "nl", "es", "fr"):
+    for lang in ("en", "de", "nl", "es", "fr",
+                 "pt", "it", "pl", "tr", "vi", "id"):
         assert (lang, lang) in got, (lang, sorted(got))
     assert ("zz", "und") in got
     # no off-diagonal guesses at all on this corpus
     assert all(g == (l if l != "zz" else "und") for l, g in got)
+
+
+def test_portuguese_gets_its_own_stopword_base_not_spanish(spark):
+    # the exact round-6 gap: a Portuguese page's only marker hits used
+    # to be the shared es words (que), so it classified es and was then
+    # scored against the SPANISH stopword base; with the pt marker set
+    # it must classify pt and its stop_ratio must count PORTUGUESE
+    # function words
+    pt_article = ("o cão não está em casa para brincar e uma chuva "
+                  "forte cai sobre os telhados da cidade de lisboa "
+                  "onde uma mulher caminha para o mercado que fica "
+                  "perto dos jardins e não longe de uma praça")
+    out = with_text_features(spark.createDataFrame(
+        [Row(doc_id=1, text=pt_article)])).collect()[0]
+    assert out["guess_lang"] == "pt"
+    # pt function words (de/que/não/uma/para/dos) are a real fraction
+    assert out["n_stop"] >= 8
+    assert out["stop_ratio"] >= 0.2
+    assert out["quality_score"] >= 0.9
 
 
 def test_script_lang_id_confusion_matrix(spark):

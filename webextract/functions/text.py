@@ -16,12 +16,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 # byte-reproducible in plain SQL on both engines (no model, no external
 # data). Marker overlap across languages is fine — the guess is the
 # ARGMAX of per-language marker ratios, with an alphabetical tiebreak.
+# Round 7 broadens the Latin-script table to the remaining top-15 web
+# languages (pt/it/pl/tr/vi/id): before, a Portuguese page tripped the
+# Spanish markers (its only hits) and then inherited the SPANISH
+# stopword base in the quality score. Each added set is chosen so its
+# own language's function-word mass beats any cross-language hits
+# ("de" is shared pt/nl but Dutch text carries ~2× the nl-set mass;
+# "que" is shared pt/es but the es set's el/los/y never fire on pt).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht"),
     "en": ("the", "a", "of", "and", "to", "is"),
     "es": ("el", "la", "los", "que", "es", "y"),
     "fr": ("le", "la", "les", "et", "est", "une"),
+    "id": ("yang", "dan", "untuk", "dengan", "tidak", "ini"),
+    "it": ("di", "che", "il", "non", "per", "una"),
     "nl": ("de", "het", "een", "en", "van", "niet"),
+    "pl": ("nie", "się", "jest", "oraz", "która", "przez"),
+    "pt": ("de", "que", "não", "uma", "para", "dos"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "değil"),
+    "vi": ("của", "và", "là", "không", "các", "một"),
 }
 LANG_THRESHOLD = 0.04  # best marker ratio below this → 'und'
 
