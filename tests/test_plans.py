@@ -159,6 +159,33 @@ def test_text_features_prune_to_consumed_columns(spark, docs):
     assert "ArrayFilter" not in optimized  # no marker passes at all
 
 
+def test_lang_id_ascii_guard_gates_script_counts(spark, docs):
+    # the lang_id audit (round 7): the six Unicode-script regexp counts
+    # — the only per-char regex scans in the language guess — must each
+    # sit under the CASE WHEN (_na AND nsc>0) guard, where _na is ONE
+    # any-non-ASCII rlike evaluated once per row. On the (majority)
+    # pure-ASCII pages of a crawl the guard short-circuits all six
+    # scans; if CollapseProject ever inlined _na per reference, the
+    # rlike would run six times and the guard would stop paying.
+    import re
+
+    from webextract.functions.text import LANG_MARKERS, with_text_features
+
+    q = with_text_features(docs).groupBy("lang", "guess_lang").count()
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    # regexp_count compiles to size(regexp_extract_all(...)) — exactly
+    # one per script class, each under the _na guard
+    scans = re.findall(
+        r"CASE WHEN \(_na#\d+ AND \(_nsc#\d+ > 0\)\) THEN "
+        r"\(cast\(size\(regexp_extract_all\(", optimized)
+    assert len(scans) == 6, optimized
+    assert len(re.findall(r"regexp_extract_all\(", optimized)) == 6
+    # the guard itself is a single RLIKE evaluation
+    assert len(re.findall(r"RLIKE", optimized)) == 1, optimized
+    # one single-pass token filter per marker language, none duplicated
+    assert len(re.findall(r"filter\(", optimized)) == len(LANG_MARKERS)
+
+
 def test_text_features_shared_arrays_single_evaluation(spark, docs):
     # the quality_scores audit (round 6): every shared intermediate —
     # the normalized text (regexp_replace), the token array
