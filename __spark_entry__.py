@@ -665,12 +665,14 @@ def _crawl_corpus(spark, sf_dir):
     return planted.withColumn("url", url)
 
 
-def q_curate_full(spark, sf_dir):
+def q_curate_full(spark, sf_dir, budget_mode: str = "exact"):
     # the COMPLETE production chain: canonical re-crawl collapse ->
     # blocklist -> PII mask -> decontaminate -> quality gate -> exact
     # dedup -> near-dup drop -> per-source token budget (best quality
     # first) — every stage is the already-oracle-checked primitive,
-    # composed (see functions/curate.py:curate_full)
+    # composed (see functions/curate.py:curate_full). budget_mode=
+    # "approx" runs the two-phase budget scale path (identical rows,
+    # same oracle); bench.py times both variants.
     from webextract.functions.curate import curate_full
     from webextract.functions.text import norm_text
 
@@ -680,7 +682,8 @@ def q_curate_full(spark, sf_dir):
         .alias("text"))
     blocked = spark.sql("SELECT 'spam.seofarm.net' AS domain")
     return curate_full(_crawl_corpus(spark, sf_dir), blocked, bench,
-                       min_quality=0.5, threshold=0.8, budget_tokens=3000)
+                       min_quality=0.5, threshold=0.8, budget_tokens=3000,
+                       budget_mode=budget_mode)
 
 
 def q_block_scores(spark, sf_dir):

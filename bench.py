@@ -496,6 +496,12 @@ def headline_runs() -> dict[str, float]:
     for name in HEADLINE:
         timings[name] = _timed(lambda: noop_write(queries[name](spark, SF_DIR)))
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+    # the two-phase budget scale path through the SAME composed chain
+    # (identical rows to curate_full; bench-only variant, oracle shared)
+    timings["curate_full_approx"] = _timed(lambda: noop_write(
+        entrymod.q_curate_full(spark, SF_DIR, budget_mode="approx")))
+    print(f"[bench] curate_full_approx: {timings['curate_full_approx']}s",
+          file=sys.stderr)
     dedup_stage_runs(spark, timings)
     spark.stop()
     return timings

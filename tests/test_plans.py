@@ -186,6 +186,36 @@ def test_lang_id_ascii_guard_gates_script_counts(spark, docs):
     assert len(re.findall(r"filter\(", optimized)) == len(LANG_MARKERS)
 
 
+def test_curate_full_approx_no_full_corpus_stratum_sort(spark):
+    # the COMPOSED production chain in approx budget mode (round-7 pin;
+    # the standalone token_budget_sample pin is
+    # test_functions.py::test_token_budget_approx_prunes_before_sort):
+    # the final per-stratum running-sum window must consume the
+    # bucket-pruned candidate slice, not the full survivor corpus — at
+    # 10^12 docs the full-corpus per-stratum sort is the one remaining
+    # scale-killer the approx mode exists to remove.
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_curate_full(spark, SF, budget_mode="approx")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # two-phase machinery present: sketch edges + bucket histogram
+    assert "percentile_approx" in opt
+    # exactly two windows: the bucket-mass running sum and the final
+    # exact cum-sum; the FINAL one (outermost, printed first) orders by
+    # quality priority and sits ABOVE the _bucket slice logic
+    windows = re.findall(r"Window \[.{0,160}", opt)
+    assert len(windows) == 2, windows
+    assert "quality_score" in windows[0] and "DESC" in windows[0]
+    assert "_bucket" in windows[1]
+    assert opt.index("Window") < opt.index("_bucket")
+    # contrast: the exact-mode chain has no sketch stage
+    exact = entrymod.q_curate_full(spark, SF, budget_mode="exact") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in exact
+
+
 def test_text_features_shared_arrays_single_evaluation(spark, docs):
     # the quality_scores audit (round 6): every shared intermediate —
     # the normalized text (regexp_replace), the token array
