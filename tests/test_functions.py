@@ -381,6 +381,85 @@ def test_media_real_backend_header_decode(spark):
         assert out[mid]["digest"] is not None
 
 
+def _tiff_bytes(w, h, big_endian=False):
+    # minimal valid TIFF: header -> one IFD with ImageWidth (LONG) and
+    # ImageLength (SHORT, exercising the left-justified value field)
+    import struct
+    e = ">" if big_endian else "<"
+    head = (b"MM\x00*" if big_endian else b"II*\x00") \
+        + struct.pack(e + "I", 8)
+    entries = (
+        struct.pack(e + "HHI", 256, 4, 1) + struct.pack(e + "I", w)
+        + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "H", h)
+        + b"\x00\x00"
+    )
+    return head + struct.pack(e + "H", 2) + entries \
+        + struct.pack(e + "I", 0)
+
+
+def _avif_bytes(w, h):
+    # minimal ISO-BMFF AVIF: ftyp(avif) + meta(FullBox){iprp{ipco{ispe}}}
+    import struct
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    ftyp = box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1")
+    ispe = box(b"ispe", struct.pack(">III", 0, w, h))
+    meta = box(b"meta",
+               struct.pack(">I", 0) + box(b"iprp", box(b"ipco", ispe)))
+    return ftyp + meta
+
+
+def test_media_tiff_avif_header_dims(spark):
+    from webextract.pipeline import ship_package
+    ship_package(spark)
+    tiff_le, tiff_be = _tiff_bytes(1200, 800), _tiff_bytes(64, 48,
+                                                           big_endian=True)
+    avif = _avif_bytes(512, 384)
+    df = spark.createDataFrame([
+        Row(media_id=1, payload=tiff_le, kind="image"),
+        Row(media_id=2, payload=tiff_be, kind="image"),
+        Row(media_id=3, payload=avif, kind="image"),
+        # crafted inputs stay per-row errors: IFD offset out of range,
+        # missing ispe under an AVIF brand
+        Row(media_id=4, payload=b"II*\x00\xff\xff\xff\xff", kind="image"),
+        Row(media_id=5, payload=_avif_bytes(1, 1)[:16], kind="image"),
+    ])
+    out = {r["media_id"]: r for r in
+           media_features(df, backend="real").collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) \
+        == (1200, 800, None)
+    assert (out[2]["width"], out[2]["height"]) == (64, 48)
+    assert (out[3]["width"], out[3]["height"], out[3]["n_frames"]) \
+        == (512, 384, 1)
+    # digest-pinned: the features row carries the exact payload md5
+    assert out[1]["digest"] == hashlib.md5(tiff_le).hexdigest()
+    assert out[2]["digest"] == hashlib.md5(tiff_be).hexdigest()
+    assert out[3]["digest"] == hashlib.md5(avif).hexdigest()
+    assert "IFD offset out of range" in out[4]["error"]
+    assert "missing meta box" in out[5]["error"]
+    for mid in (1, 2, 3):
+        assert out[mid]["error"] is None
+
+
+def test_tiff_avif_pure_parsers():
+    from webextract.functions.multimodal import _avif_info, _tiff_dims
+
+    assert _tiff_dims(_tiff_bytes(7, 9)) == (7, 9, None)
+    assert _tiff_dims(_tiff_bytes(7, 9, big_endian=True)) == (7, 9, None)
+    assert _avif_info(_avif_bytes(30, 20)) == {
+        "width": 30, "height": 20, "n_frames": 1}
+    with pytest.raises(ValueError, match="implausible width"):
+        _tiff_dims(_tiff_bytes(1 << 21, 9))       # bomb guard
+    with pytest.raises(ValueError, match="missing ImageWidth"):
+        import struct
+        _tiff_dims(b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 0)
+                   + struct.pack("<I", 0))        # empty IFD
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _tiff_dims(b"XX*\x00....")
+
+
 def test_media_transform_fake_and_real_seam(spark):
     from webextract.functions.multimodal import media_transform
     from webextract.pipeline import ship_package

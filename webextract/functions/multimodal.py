@@ -173,12 +173,60 @@ def _bmp_dims(b: bytes) -> tuple[int, int, int | None]:
     return w, abs(h), None
 
 
+def _tiff_dims(b: bytes) -> tuple[int, int, int | None]:
+    """TIFF header walk (TIFF 6.0 §2, public spec): endian marker + magic
+    42, then the first IFD's 12-byte entries scanned for ImageWidth(256)
+    / ImageLength(257) with inline SHORT/LONG values. Header-only and
+    bounded — the entry count is capped and every read is range-checked,
+    so a crafted offset is a per-row error, never a crash."""
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    if b[:2] == b"II":
+        endian = "<"
+    elif b[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if struct.unpack_from(endian + "H", b, 2)[0] != 42:
+        raise ValueError("bad TIFF magic number")
+    ifd = struct.unpack_from(endian + "I", b, 4)[0]
+    if ifd + 2 > len(b):
+        raise ValueError("TIFF IFD offset out of range")
+    n = struct.unpack_from(endian + "H", b, ifd)[0]
+    if n > 4096:
+        raise ValueError("implausible TIFF IFD entry count")
+    w = h = None
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(b):
+            break
+        tag, typ = struct.unpack_from(endian + "HH", b, e)
+        if tag not in (256, 257):
+            continue
+        if typ == 3:      # SHORT, left-justified in the value field
+            val = struct.unpack_from(endian + "H", b, e + 8)[0]
+        elif typ == 4:    # LONG
+            val = struct.unpack_from(endian + "I", b, e + 8)[0]
+        else:
+            continue
+        if tag == 256:
+            w = val
+        else:
+            h = val
+    if w is None or h is None:
+        raise ValueError("TIFF IFD missing ImageWidth/ImageLength")
+    return (_sane(w, _MAX_DIM, "width"), _sane(h, _MAX_DIM, "height"),
+            None)
+
+
 _SNIFFERS = (
     (b"\x89PNG\r\n\x1a\n", _png_dims),
     (b"GIF87a", _gif_dims),
     (b"GIF89a", _gif_dims),
     (b"\xff\xd8", _jpeg_dims),
     (b"BM", _bmp_dims),
+    (b"II*\x00", _tiff_dims),
+    (b"MM\x00*", _tiff_dims),
 )
 
 
@@ -430,6 +478,30 @@ def _mp4_info(b: bytes) -> dict:
     return out
 
 
+# ISO-BMFF brands whose dims live in meta/iprp/ipco/ispe instead of a
+# movie box: AVIF stills/sequences and their HEIF siblings
+_ISPE_BRANDS = (b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1")
+
+
+def _avif_info(b: bytes) -> dict:
+    """AVIF/HEIF still-image dims (ISO/IEC 23008-12 §6.5.3): the ispe
+    ImageSpatialExtentsProperty under meta→iprp→ipco carries version/
+    flags + width/height u32. Reuses the ISO-BMFF box walker; ``meta``
+    is a FullBox, so its children start 4 bytes into the payload.
+    Header-only, bounded like the MP4 walk."""
+    meta = _mp4_find(b, 0, len(b), (b"meta",))
+    if meta is None:
+        raise ValueError("AVIF missing meta box")
+    lo, hi = meta
+    ispe = _mp4_find(b, lo + 4, hi, (b"iprp", b"ipco", b"ispe"))
+    if ispe is None or ispe[0] + 12 > ispe[1]:
+        raise ValueError("AVIF missing ispe property")
+    w, h = struct.unpack_from(">II", b, ispe[0] + 4)
+    return {"width": _sane(w, _MAX_DIM, "width"),
+            "height": _sane(h, _MAX_DIM, "height"),
+            "n_frames": 1}
+
+
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Header-level decode by magic-byte sniffing (container format wins
     over the declared ``kind``). Unknown containers raise ValueError,
@@ -458,7 +530,10 @@ def _real_decode(payload: bytes, kind: str) -> dict:
             base.update({"width": w, "height": h, "n_frames": frames})
             return base
     if payload[4:8] == b"ftyp":                # MP4 / ISO-BMFF
-        base.update(_mp4_info(payload))
+        if payload[8:12] in _ISPE_BRANDS:      # AVIF/HEIF image, no moov
+            base.update(_avif_info(payload))
+        else:
+            base.update(_mp4_info(payload))
         return base
     if payload.startswith(b"ID3") or (
             len(payload) >= 2 and payload[0] == 0xFF
