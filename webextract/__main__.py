@@ -175,6 +175,17 @@ def main(argv: list[str] | None = None) -> int:
     met.add_argument("--run-id", default=None,
                      help="summarize one run (default: every run, "
                           "labeled, plus the all-runs total)")
+    rend = sub.add_parser(
+        "render",
+        help="fixture inspection: one url's extracted text with its "
+             "region spans + text lines overlaid as annotated HTML "
+             "(reference tooling/visualization.py analog; driver-side, "
+             "one collected row)")
+    rend.add_argument("--input", required=True,
+                      help="extraction sink (parquet path or table)")
+    rend.add_argument("--url", required=True, help="url to render")
+    rend.add_argument("--output", default=None,
+                      help="HTML file (default: stdout)")
     args = p.parse_args(argv)
 
     if args.command == "metrics":
@@ -185,6 +196,22 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = SparkSession.builder.appName("webextract").getOrCreate()
         print(summarize_metrics(spark, args.metrics, args.run_id), end="")
+        return 0
+
+    if args.command == "render":
+        # driver-side one-row tooling: no package shipping needed
+        from pyspark.sql import SparkSession
+
+        from .render import render_from_sink
+
+        spark = SparkSession.builder.appName("webextract").getOrCreate()
+        page = render_from_sink(spark, args.input, args.url)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as fh:
+                fh.write(page)
+            print(args.output)
+        else:
+            print(page, end="")
         return 0
 
     from pyspark.sql import SparkSession
