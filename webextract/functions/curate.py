@@ -217,4 +217,4 @@ def curate_full(docs: DataFrame, blocked: DataFrame, benchmark: DataFrame,
     return token_budget_sample(
         enriched, budget_tokens=budget_tokens, strata_col=strata_col,
         priority_col="quality_score", id_col=id_col, text_col=text_col,
-        mode=budget_mode)
+        mode=budget_mode, scope=sc)
