@@ -352,19 +352,29 @@ SCRIPT_SAMPLES: dict[str, str] = {
     "ar": "هذه صفحة اختبار في موقعنا من أجل التحقق على أن هذا النص لا يطول",
     "hi": "यह एक परीक्षण पृष्ठ है के लिए हम में हिंदी की भाषा और"
           " लिखते हैं का उपयोग है",
+    # round 7: Greek/Hebrew (space-delimited word path) + Thai (the
+    # unsegmented-substring path shared with CJK)
+    "el": "αυτή είναι μια δοκιμαστική σελίδα του ιστοτόπου και γράφουμε"
+          " το κείμενο στα ελληνικά με λέξεις που είναι συχνές"
+          " της γλώσσας να δούμε",
+    "he": "זה עמוד בדיקה של האתר שלנו אנחנו כותבים את הטקסט בעברית"
+          " והוא לא ארוך זה נכתב על ידי הצוות של האתר",
+    "th": "นี่คือหน้าทดสอบของเว็บไซต์ เราเขียนข้อความเป็นภาษาไทยและมันไม่ยาว"
+          " ที่นี่มีคำที่ใช้บ่อยเช่นของและในได้",
 }
-_SCRIPT_ORDER: tuple[str, ...] = ("zh", "ja", "ko", "ru", "ar", "hi")
+_SCRIPT_ORDER: tuple[str, ...] = ("zh", "ja", "ko", "ru", "ar", "hi",
+                                  "el", "he", "th")
 
 
 def _script_docs(spark, sf_dir):
     """Deterministic global-crawl corpus: docs are routed by
-    ``doc_id % 7`` (bigint modulo, engine-exact) — slots 0–5 become a
-    script-language doc (lang relabeled, text replaced by that
-    language's :data:`SCRIPT_SAMPLES` paragraph), slot 6 keeps the
-    original Latin row. Exactly mirrored in SQL (same modulo, same
-    literals)."""
+    ``doc_id % (n_scripts+1)`` (bigint modulo, engine-exact) — each
+    script slot becomes a script-language doc (lang relabeled, text
+    replaced by that language's :data:`SCRIPT_SAMPLES` paragraph), the
+    last slot keeps the original Latin row. Exactly mirrored in SQL
+    (same modulo, same literals)."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    slot = F.col("doc_id") % 7
+    slot = F.col("doc_id") % (len(_SCRIPT_ORDER) + 1)
     lang_expr, text_expr = F.col("lang"), F.col("text")
     for i, code in enumerate(_SCRIPT_ORDER):
         lang_expr = F.when(slot == i, F.lit(code)).otherwise(lang_expr)
@@ -1952,7 +1962,9 @@ def _sql_quality_chain(src: str) -> str:
     # otherwise); en/und fall through to the English set
     n_stop = "CASE guess_lang"
     for c in sorted(CJK_CHAR_MARKERS):
-        hits = " + ".join(_sql_occ("norm", f"'{ch}'", 1)
+        # needle length in CODE POINTS (Thai markers are multi-char;
+        # Python len == DuckDB length == Spark length for VARCHAR)
+        hits = " + ".join(_sql_occ("norm", f"'{ch}'", len(ch))
                           for ch in CJK_CHAR_MARKERS[c])
         n_stop += f" WHEN '{c}' THEN ({hits})"
     for c in sorted(LANG_STOPWORDS):
@@ -2085,12 +2097,13 @@ def _lang_id_mixed_sql() -> str:
 
 
 def _script_src_sql() -> str:
-    """Mirror of _script_docs: doc_id % 7 routing, SCRIPT_SAMPLES
-    paragraphs as SQL literals."""
+    """Mirror of _script_docs: doc_id % (n_scripts+1) routing,
+    SCRIPT_SAMPLES paragraphs as SQL literals."""
+    n = len(_SCRIPT_ORDER) + 1
     lang_case, text_case = "CASE", "CASE"
     for i, code in enumerate(_SCRIPT_ORDER):
-        lang_case += f" WHEN doc_id % 7 = {i} THEN '{code}'"
-        text_case += (f" WHEN doc_id % 7 = {i}"
+        lang_case += f" WHEN doc_id % {n} = {i} THEN '{code}'"
+        text_case += (f" WHEN doc_id % {n} = {i}"
                       f" THEN '{SCRIPT_SAMPLES[code]}'")
     lang_case += " ELSE lang END"
     text_case += " ELSE text END"

@@ -213,17 +213,29 @@ def test_script_lang_id_confusion_matrix(spark):
         Row(lang="ru", text="это тестовая страница и мы пишем на русском языке"),
         Row(lang="ar", text="هذه صفحة اختبار في موقعنا من أجل التحقق"),
         Row(lang="hi", text="यह एक परीक्षण पृष्ठ है के लिए हम हिंदी में लिखते हैं"),
+        # round 7: Greek/Hebrew (word path) + Thai (unsegmented path)
+        Row(lang="el", text="αυτή είναι μια δοκιμή και γράφουμε το κείμενο"
+                            " στα ελληνικά με λέξεις που είναι συχνές"),
+        Row(lang="he", text="זה עמוד בדיקה של האתר שלנו ואנחנו כותבים את"
+                            " הטקסט בעברית והוא לא ארוך"),
+        Row(lang="th", text="นี่คือหน้าทดสอบของเว็บไซต์"
+                            " เราเขียนข้อความเป็นภาษาไทยและมันไม่ยาว"),
         # Latin fallback still works on the same DataFrame
         Row(lang="en", text="the cat sat on the mat and the dog is a friend"),
     ]
     feats = with_text_features(spark.createDataFrame(rows))
     got = {r["lang"]: r for r in feats.collect()}
-    for lang in ("zh", "ja", "ko", "ru", "ar", "hi", "en"):
+    for lang in ("zh", "ja", "ko", "ru", "ar", "hi", "el", "he", "th",
+                 "en"):
         assert got[lang]["guess_lang"] == lang, (lang, got[lang]["guess_lang"])
     # script-keyed stopword bases score nonzero for every script class
-    for lang in ("zh", "ja", "ko", "ru", "ar", "hi"):
+    for lang in ("zh", "ja", "ko", "ru", "ar", "hi", "el", "he", "th"):
         assert got[lang]["n_stop"] > 0, lang
         assert got[lang]["stop_ratio"] > 0, lang
+    # Thai rides the unsegmented path: char-≈-token signals, no
+    # whitespace mean-word-length (NULL like the CJK rows)
+    assert got["th"]["mean_word_len"] is None
+    assert got["he"]["mean_word_len"] is not None
 
 
 def test_cjk_quality_gates(spark):

@@ -169,17 +169,21 @@ def test_lang_id_ascii_guard_gates_script_counts(spark, docs):
     # rlike would run six times and the guard would stop paying.
     import re
 
-    from webextract.functions.text import LANG_MARKERS, with_text_features
+    from webextract.functions.text import (
+        LANG_MARKERS, SCRIPT_RANGES, with_text_features,
+    )
 
     q = with_text_features(docs).groupBy("lang", "guess_lang").count()
     optimized = q._jdf.queryExecution().optimizedPlan().toString()
     # regexp_count compiles to size(regexp_extract_all(...)) — exactly
     # one per script class, each under the _na guard
+    n_scripts = len(SCRIPT_RANGES)
     scans = re.findall(
         r"CASE WHEN \(_na#\d+ AND \(_nsc#\d+ > 0\)\) THEN "
         r"\(cast\(size\(regexp_extract_all\(", optimized)
-    assert len(scans) == 6, optimized
-    assert len(re.findall(r"regexp_extract_all\(", optimized)) == 6
+    assert len(scans) == n_scripts, optimized
+    assert len(re.findall(
+        r"regexp_extract_all\(", optimized)) == n_scripts
     # the guard itself is a single RLIKE evaluation
     assert len(re.findall(r"RLIKE", optimized)) == 1, optimized
     # one single-pass token filter per marker language, none duplicated

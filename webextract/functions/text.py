@@ -51,9 +51,12 @@ SCRIPT_RANGES: dict[str, str] = {
     "arabic": r"[\x{0600}-\x{06FF}\x{0750}-\x{077F}]",
     "cyrillic": r"[\x{0400}-\x{04FF}]",
     "devanagari": r"[\x{0900}-\x{097F}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
     "han": r"[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]",
     "hangul": r"[\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]",
+    "hebrew": r"[\x{0590}-\x{05FF}]",
     "kana": r"[\x{3040}-\x{30FF}]",
+    "thai": r"[\x{0E00}-\x{0E7F}]",
 }
 # fixed decision precedence: kana presence means Japanese even though
 # Japanese text is mostly Han (kanji); then the dominant-script checks
@@ -67,19 +70,28 @@ SCRIPT_DECISION: tuple[tuple[str, str, float], ...] = (
     ("arabic", "ar", SCRIPT_THRESHOLD),
     ("devanagari", "hi", SCRIPT_THRESHOLD),
     ("cyrillic", "ru", SCRIPT_THRESHOLD),
+    ("greek", "el", SCRIPT_THRESHOLD),
+    ("hebrew", "he", SCRIPT_THRESHOLD),
+    ("thai", "th", SCRIPT_THRESHOLD),
 )
 # languages whose function words are not whitespace-delimited: the
-# stopword base counts marker CHARACTERS over non-space chars instead
-# of marker tokens over whitespace tokens
-CJK_LANGS: tuple[str, ...] = ("ja", "ko", "zh")
+# stopword base counts marker SUBSTRING occurrences over non-space
+# chars instead of marker tokens over whitespace tokens. Thai (round 7)
+# rides the same path — its script writes without word spaces, so its
+# multi-char function words are counted as substrings (occurrences()
+# handles any needle length on both engines).
+CJK_LANGS: tuple[str, ...] = ("ja", "ko", "th", "zh")
 CJK_CHAR_MARKERS: dict[str, tuple[str, ...]] = {
     "ja": ("の", "に", "は", "を", "が", "た"),
     "ko": ("이", "는", "을", "가", "의", "에"),
+    "th": ("ที่", "และ", "ของ", "ใน", "เป็น", "ได้"),
     "zh": ("的", "是", "了", "在", "和", "不"),
 }
 # word-based stopword sets for space-delimited non-Latin scripts
 SCRIPT_STOPWORDS: dict[str, tuple[str, ...]] = {
     "ar": ("في", "من", "على", "أن", "هذا", "لا"),
+    "el": ("και", "να", "το", "της", "με", "που"),
+    "he": ("של", "את", "על", "זה", "לא", "הוא"),
     "hi": ("है", "के", "में", "की", "और", "का"),
     "ru": ("и", "в", "не", "на", "что", "это"),
 }
@@ -340,12 +352,13 @@ def with_text_features(docs: DataFrame) -> DataFrame:
 
     ``guess_lang`` checks Unicode-script ratios BEFORE the Latin marker
     argmax (:data:`SCRIPT_DECISION`): pages dominated by Han/Kana/
-    Hangul/Cyrillic/Arabic/Devanagari code points classify as
-    zh/ja/ko/ru/ar/hi instead of collapsing into 'und' (the majority of
-    a global crawl is non-Latin — the reference's analog is its total
-    decode of every corpus input, ``utils/image_utils.py:84-168``). For
-    the CJK languages, whose function words are not whitespace-
-    delimited, the stopword base counts marker CHARACTERS
+    Hangul/Cyrillic/Arabic/Devanagari/Greek/Hebrew/Thai code points
+    classify as zh/ja/ko/ru/ar/hi/el/he/th instead of collapsing into
+    'und' (the majority of a global crawl is non-Latin — the
+    reference's analog is its total decode of every corpus input,
+    ``utils/image_utils.py:84-168``). For the unsegmented-script
+    languages (CJK + Thai), whose function words are not whitespace-
+    delimited, the stopword base counts marker SUBSTRING occurrences
     (:data:`CJK_CHAR_MARKERS`) over non-space chars, the length band
     runs over non-space chars, and the mean-word-length gate (a
     whitespace-token signal, meaningless for CJK) passes by script
