@@ -495,14 +495,24 @@ def dedup_increment(new_docs: DataFrame, corpus: DataFrame,
                  else _fps(corpus))
     keep = new_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     batch_first = new_fp.join(keep.select(id_col), id_col, "left_semi")
-    exact_surv = sc.persist(batch_first.join(
-        corpus_fp.select("fingerprint"), "fingerprint", "left_anti"))
+    # lineage cut, not persist (the curate_full lesson, curate.py:128):
+    # the banding/verify/drop chain below references these relations
+    # dozens of times, and an InMemoryRelation keeps the whole analyzed
+    # producer tree as its child — AQE re-analyzes it per reference and
+    # the final plan exploded to ~48k scan nodes (measured: 42 s cold /
+    # 17 s with every block cached, pure driver analysis; 14 s / 3 s
+    # with the cut). At cluster scale the equivalent is the stored
+    # exact-survivor stage table.
+    exact_surv = batch_first.join(
+        corpus_fp.select("fingerprint"), "fingerprint", "left_anti") \
+        .localCheckpoint(eager=False)
 
     # near-dup candidates: new bands vs (corpus ∪ new) bands — consumed
     # by the verify join AND the drop classification below
-    new_surv = sc.persist(
+    new_surv = (
         new_docs.select(F.col(id_col), F.col(text_col))
-        .join(exact_surv.select(id_col), id_col, "left_semi"))
+        .join(exact_surv.select(id_col), id_col, "left_semi")
+        .localCheckpoint(eager=False))
     new_sigs = with_minhash(new_surv, id_col, text_col, n_hashes)
     corpus_sigs = (corpus_signatures if corpus_signatures is not None
                    else with_minhash(corpus.select(id_col, text_col),
@@ -512,19 +522,21 @@ def dedup_increment(new_docs: DataFrame, corpus: DataFrame,
     other = (cb.select(F.col(id_col).alias("_o"), "band_key")
              .unionByName(nb.select(F.col(id_col).alias("_o"),
                                     "band_key")))
-    cands = sc.persist(
+    cands = (
         nb.select(F.col(id_col).alias("_n"), "band_key")
         .join(other, "band_key")
         .filter(F.col("_n") != F.col("_o"))
         .select(F.least("_n", "_o").alias("doc_a"),
                 F.greatest("_n", "_o").alias("doc_b"))
-        .distinct())
+        .distinct()
+        .localCheckpoint(eager=False))  # 3 consumers inside the verify
 
     universe = corpus.select(F.col(id_col), F.col(text_col)) \
         .unionByName(new_surv)
-    pairs = sc.persist(near_duplicate_docs(
+    pairs = near_duplicate_docs(
         universe, id_col=id_col, text_col=text_col, threshold=threshold,
-        candidates=cands, scope=sc))
+        candidates=cands, scope=sc) \
+        .localCheckpoint(eager=False)   # 3 drop-rule consumers below
     new_ids = new_surv.select(F.col(id_col).alias("_nid"))
     # greedy drop rule over verified pairs (doc_a < doc_b): the higher
     # new id of a new-new pair, and the new side of a corpus-new pair
