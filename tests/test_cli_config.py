@@ -129,6 +129,53 @@ def test_cli_dedup_stages_then_staged_curate(spark, tmp_path, capsys):
                   for r in spark.read.parquet(nometa_out).collect()) == [1]
 
 
+def test_cli_increment(spark, tmp_path, capsys):
+    """CLI drive of snapshot-growth dedup: new batch vs committed
+    corpus, with and without the stored signature stage table —
+    identical survivors."""
+    from pyspark.sql import Row
+
+    from webextract.__main__ import main
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "a field of tall green grass while the sun is warm and the "
+            "wind is soft in the valley near the river bend where birds "
+            "sing")
+    other = ("entirely different page about gardening tips for growing "
+             "tomatoes peppers and herbs in raised beds with compost and "
+             "regular watering through the hot months of summer")
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(doc_id=2, text=base)]).write.parquet(corpus_path)
+    new_path = str(tmp_path / "new")
+    spark.createDataFrame([
+        Row(doc_id=11, text=base),                         # corpus dup
+        Row(doc_id=13, text=base.rsplit(" ", 1)[0] + " hum"),  # near dup
+        Row(doc_id=15, text=other),                        # survives
+    ]).write.parquet(new_path)
+
+    out = str(tmp_path / "survivors")
+    assert main(["increment", "--input", new_path, "--corpus", corpus_path,
+                 "--output", out]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"new_rows": 3, "survivors": 1}
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [15]
+
+    # staged shape: the committed corpus's stored signatures feed the
+    # band join; survivors identical
+    stages = str(tmp_path / "stages")
+    assert main(["dedup-stages", "--input", corpus_path,
+                 "--output", stages]) == 0
+    capsys.readouterr()
+    out2 = str(tmp_path / "survivors2")
+    assert main(["increment", "--input", new_path, "--corpus", corpus_path,
+                 "--output", out2, "--stages", stages]) == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["survivors"] == 1
+    assert [r["doc_id"] for r in
+            spark.read.parquet(out2).collect()] == [15]
+
+
 def test_cli_dedup_stages_custom_id_col(spark, tmp_path, capsys):
     # non-default --id-col must flow through every stage (the candidates
     # stage used to crash on the missing default column)

@@ -175,6 +175,20 @@ def main(argv: list[str] | None = None) -> int:
     met.add_argument("--run-id", default=None,
                      help="summarize one run (default: every run, "
                           "labeled, plus the all-runs total)")
+    inc = sub.add_parser(
+        "increment",
+        help="dedup a NEW crawl snapshot against a committed corpus "
+             "(exact + near-dup; the corpus never self-joins); "
+             "survivors (id, fingerprint) to parquet")
+    _add_corpus_args(inc)
+    inc.add_argument("--corpus", required=True,
+                     help="committed corpus parquet path (id + text)")
+    inc.add_argument("--output", required=True, help="survivors path")
+    inc.add_argument("--stages", default=None,
+                     help="dedup-stages output dir of the COMMITTED "
+                          "corpus: its stored signatures are consumed "
+                          "instead of recomputed (fingerprints still "
+                          "derive from --corpus text)")
     rend = sub.add_parser(
         "render",
         help="fixture inspection: one url's extracted text with its "
@@ -244,10 +258,34 @@ def main(argv: list[str] | None = None) -> int:
         summary = _run_dedup_stages(spark, args)
     elif args.command == "hygiene":
         summary = _run_hygiene(spark, args)
+    elif args.command == "increment":
+        summary = _run_increment(spark, args)
     else:
         summary = _run_curate(spark, args)
     print(json.dumps(summary))
     return 0
+
+
+def _run_increment(spark, args) -> dict:
+    """Snapshot-growth dedup: new batch vs committed corpus, survivors
+    to parquet. With --stages, the committed corpus's stored signature
+    stage table feeds the band join instead of being re-derived."""
+    from .functions.cache import cache_scope
+    from .functions.dedup import dedup_increment
+
+    new = spark.read.parquet(args.input)
+    corpus = spark.read.parquet(args.corpus)
+    corpus_sigs = (spark.read.parquet(f"{args.stages.rstrip('/')}"
+                                      "/signatures")
+                   if args.stages else None)
+    with cache_scope() as scope:
+        out = dedup_increment(new, corpus, id_col=args.id_col,
+                              text_col=args.text_col,
+                              threshold=args.threshold,
+                              corpus_signatures=corpus_sigs, scope=scope)
+        out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    return {"new_rows": new.count(), "survivors": n}
 
 
 def _run_dedup_stages(spark, args) -> dict:
