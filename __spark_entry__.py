@@ -65,31 +65,78 @@ _SHINGLE_SQL = f"""
 """
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+# scan-parallelism memo: tiny single-file tables pack into ONE scan
+# partition (openCostInBytes-based split packing), which serializes every
+# map-heavy operator — minhash folds, winnowing, quality features — on a
+# single core regardless of cluster width. The fix is the guide's
+# input-skew remedy: round-robin repartition straight after the read,
+# ONLY when the scan yields fewer partitions than the session's default
+# parallelism — at production scale the scan has thousands of splits and
+# this is a no-op (no added exchange). Partition count per (path, width)
+# is probed once per process; values are row-identical either way (every
+# query here is order-insensitive).
+_SCAN_PARTS: dict[str, int] = {}
 
 
-def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    n = _SCAN_PARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = n
+    return df.repartition(dp) if n < dp else df
+
+
+def _read_spread(spark: SparkSession, path: str) -> DataFrame:
+    return _spread(spark.read.parquet(path), path)
+
+
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = True) -> DataFrame:
+    # spread=False for aggregation-only consumers (one cheap map
+    # expression feeding a hash agg): their agg exchange already
+    # redistributes, so a pre-exchange buys nothing (measured +0.5 s)
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_spread(spark, f"{sf_dir}/documents.parquet")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str,
+                spread: bool = True) -> DataFrame:
+    # spread AFTER the union: one exchange for the whole duplicated
+    # corpus instead of one per union branch
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang", "source")
     copies = (
         docs.filter(F.col("doc_id") % 7 == 0)
         .withColumn("doc_id", F.col("doc_id") + 100000)
     )
-    return docs.unionByName(copies)
+    corpus = docs.unionByName(copies)
+    if not spread:
+        return corpus
+    return _spread(corpus, f"{sf_dir}/documents.parquet#dup")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread: the events queries are aggregation-only (trivial
+    # per-row map work), so a pre-aggregation exchange would cost more
+    # than the parallelism buys (measured +0.5 s at sf0.1)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_spread(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     pages = pages_from_documents(spark, sf_dir)
-    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8))
+    # partition count scales with the session width instead of a constant
+    # tuned to neither local mode nor a cluster (the extractor is
+    # partition-invariant; 8 partitions left 3/4 of a local[32] idle)
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=n))
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +207,7 @@ def q_resume_todo(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return exact_duplicates(_dup_corpus(spark, sf_dir))
+    return exact_duplicates(_dup_corpus(spark, sf_dir, spread=False))
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -184,7 +231,7 @@ def q_lsh_candidates_wide(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return simhash16(_docs(spark, sf_dir))
+    return simhash16(_docs(spark, sf_dir, spread=False))
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -248,7 +295,7 @@ def q_paragraph_dedup(spark, sf_dir):
     # max_occurrences and are dropped, the unique bodies survive
     from webextract.functions.dedup import paragraph_dedup
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
     corpus = docs.withColumn(
         "text",
         F.concat(
@@ -738,7 +785,8 @@ def q_block_scores(spark, sf_dir):
     # including dropped boilerplate (threshold-tuning surface)
     ship_package(spark)
     pages = pages_from_documents(spark, sf_dir)
-    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8),
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=n),
                              debug_scores=True)
 
 
@@ -868,10 +916,11 @@ def q_extract_fixture_pages(spark, sf_dir):
     # range(n) without parsing any HTML — an exact oracle for the sweep.
     # Span/text VALUES are covered by the byte-identical golden suite.
     ship_package(spark)
-    pages = pages_dataframe(spark, _FIXTURE_N, num_partitions=8,
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    pages = pages_dataframe(spark, _FIXTURE_N, num_partitions=n,
                             giant_every=_FIXTURE_GIANT_EVERY,
                             giant_repeat=5000, body_scale=10)
-    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=8)) \
+    return extract_dataframe(pages, opts=PipelineOptions(num_partitions=n)) \
         .select("url", "content_kind", "error",
                 (F.col("n_spans") > 0).alias("has_spans"),
                 (F.col("n_bytes_in") > 100_000).alias("is_giant"))

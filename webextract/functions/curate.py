@@ -89,8 +89,20 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     exact_survivors = passing.join(
         keep.select(id_col), id_col, "left_semi")
     if persist_survivors:
-        exact_survivors = sc.persist(exact_survivors.select(
-            id_col, text_col, "n_tokens", "quality_score", "fingerprint"))
+        # lineage CUT, not persist (the dedup_increment lesson,
+        # dedup.py:448): the near-dup verify chain below references this
+        # relation many times (shingle semi-join, band sides, verify
+        # join, final anti-join), and an InMemoryRelation keeps the
+        # whole analyzed feature tree as its child — every reference
+        # re-analyzes it, and the composed curate_full plan measured
+        # 407 KB (exact) / 1.9 MB (approx) of physical-plan text with
+        # driver analysis dominating wall time. The checkpoint makes
+        # each reference a constant-size leaf. At cluster scale the
+        # equivalent is the stored exact-survivor stage table
+        # (curate_full's ``stage_path`` seam covers the durable shape).
+        exact_survivors = exact_survivors.select(
+            id_col, text_col, "n_tokens", "quality_score", "fingerprint") \
+            .localCheckpoint(eager=False)
     def _narrow(rel: DataFrame) -> DataFrame:
         ids = exact_survivors.select(F.col(id_col).alias("_sid"))
         return (

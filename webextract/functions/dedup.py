@@ -587,11 +587,11 @@ def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
         # fused path: the candidate set feeds both the shingle semi-join
         # and the verify join; unmaterialized, each consumer would
         # recompute the whole minhash+band self-join subtree
-        cands = sc.persist(lsh_candidate_pairs(
+        cands = lsh_candidate_pairs(
             with_minhash(docs, id_col, text_col), id_col=id_col,
-            scope=sc))
-    sets = sc.persist(
-        candidate_shingle_sets(docs, cands, id_col, text_col))
+            scope=sc).localCheckpoint(eager=False)
+    sets = candidate_shingle_sets(docs, cands, id_col, text_col) \
+        .localCheckpoint(eager=False)
     sizes = sets.select("id", F.size("shs").alias("n_sh"))
     a = sets.select(F.col("id").alias("doc_a"),
                     F.explode("shs").alias("sh_a"))

@@ -332,7 +332,6 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
     """
     from pyspark.sql import Window
 
-    from webextract.functions.cache import resolve
     from webextract.functions.text import norm_text, token_count
 
     n_tok = token_count(norm_text(text_col))
@@ -341,7 +340,18 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
                        F.col(priority_col),
                        n_tok.alias("n_tokens"))
     if mode == "approx":
-        base = resolve(scope).persist(base)
+        # materialize AND cut lineage: the two-phase plan consumes this
+        # relation three times (edge sketch, bucket join, histogram),
+        # and in the composed curate_full chain its producer is the
+        # whole near-dup survivor join — a persist alone keeps that
+        # analyzed tree as the InMemoryRelation's child, re-analyzed
+        # per reference (measured 1.9 MB of physical-plan text). The
+        # checkpoint makes each reference a constant-size leaf; at
+        # 10^12 docs this projection is the stored stage table a
+        # budget recipe reads anyway. (``scope`` stays in the signature
+        # for API stability; checkpoint blocks are released by the
+        # ContextCleaner when the frame is unreferenced.)
+        base = base.localCheckpoint(eager=False)
         prio = F.col(priority_col)
         qs = [i / buckets for i in range(1, buckets)]
         edges = base.groupBy("stratum").agg(
