@@ -27,7 +27,7 @@ sys.path.insert(0, str(REPO))
 
 from bench import (  # noqa: E402
     CPUS, DEDUP_STAGES, HEADLINE, SF_DIR, dedup_stage_runs, make_session,
-    noop_write,
+    noop_write, settle,
 )
 
 
@@ -48,6 +48,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from webextract.pipeline import ship_package
 
+    if not args.plans_only:
+        settle()  # same quiet-window wait as bench.py's headline runs
     spark = make_session(CPUS)
     ship_package(spark)
     if not args.no_warmup:

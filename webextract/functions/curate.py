@@ -84,7 +84,14 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
         # signatures/candidates; this persist is its local stand-in.
         feats = sc.persist(feats)
     passing = feats.filter(F.col("quality_score") >= min_quality)
-    # exact dedup keep-first: the min id per fingerprint survives
+    # exact dedup keep-first: the min id per fingerprint survives.
+    # Deliberately groupBy(min) + semi-join rather than a window-min:
+    # the window shape forces a full-row (text-carrying) exchange +
+    # sort, while here the aggregation exchanges only (fingerprint, id)
+    # and the semi-join back is id-keyed (broadcast at bench scale) —
+    # measured ~2 s faster per composed curate query at sf0.1, and at
+    # corpus scale the narrow agg + id-keyed join still beats sorting
+    # text rows.
     keep = passing.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     exact_survivors = passing.join(
         keep.select(id_col), id_col, "left_semi")
@@ -191,6 +198,9 @@ def curate_full(docs: DataFrame, blocked: DataFrame, benchmark: DataFrame,
     )
 
     sc = resolve(scope)
+    # re-crawl collapse keep-first: groupBy(min) + id-keyed semi-join
+    # (NOT a window-min — see the rationale at curate_corpus's exact
+    # dedup: the window would sort and exchange full text rows)
     canon = docs.withColumn("_canon", canonicalize_url(F.col(url_col)))
     first = canon.groupBy("_canon").agg(F.min(id_col).alias(id_col))
     collapsed = canon.join(first.select(id_col), id_col, "left_semi") \
@@ -224,9 +234,13 @@ def curate_full(docs: DataFrame, blocked: DataFrame, benchmark: DataFrame,
     survivors = curate_corpus(clean, id_col=id_col, text_col=text_col,
                               min_quality=min_quality, threshold=threshold,
                               transitive=transitive, scope=sc)
-    enriched = survivors.select(id_col, "quality_score").join(
-        clean, id_col)
+    # the budget stage needs only (id, stratum, priority, n_tokens):
+    # survivors already carry quality_score AND n_tokens (computed by
+    # the feature stage over the same masked text), so the join pulls
+    # just the stratum column and the exchange never moves text
+    enriched = survivors.select(id_col, "quality_score", "n_tokens").join(
+        clean.select(F.col(id_col), F.col(strata_col)), id_col)
     return token_budget_sample(
         enriched, budget_tokens=budget_tokens, strata_col=strata_col,
         priority_col="quality_score", id_col=id_col, text_col=text_col,
-        mode=budget_mode, scope=sc)
+        mode=budget_mode, n_tokens_col="n_tokens", scope=sc)

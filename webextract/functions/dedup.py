@@ -237,22 +237,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(shingles(norm_text(text_col)), hash60)).alias("shs")))
-    doc_shingles = sets.select("id", F.explode("shs").alias("sh"))
-    sizes = sets.select("id", F.size("shs").alias("n_sh"))
-    a = doc_shingles.select(F.col("id").alias("doc_a"), "sh")
-    b = doc_shingles.select(F.col("id").alias("doc_b"), "sh")
+    # set sizes ride THROUGH the shingle self-join as one extra 4-byte
+    # int per row instead of two id-keyed joins after the aggregation:
+    # the per-group size is constant, so max() recovers it exactly and
+    # the two post-agg exchanges disappear
+    doc_shingles = sets.select(
+        "id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
+    a = doc_shingles.select(F.col("id").alias("doc_a"),
+                            F.col("n_sh").alias("n_a"), "sh")
+    b = doc_shingles.select(F.col("id").alias("doc_b"),
+                            F.col("n_sh").alias("n_b"), "sh")
     common = (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("n_common"),
+             F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
     )
     return (
         common
-        .join(sizes.select(F.col("id").alias("doc_a"),
-                           F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("id").alias("doc_b"),
-                           F.col("n_sh").alias("n_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_common")
@@ -493,8 +496,17 @@ def dedup_increment(new_docs: DataFrame, corpus: DataFrame,
     new_fp = _fps(new_docs)
     corpus_fp = (corpus_fingerprints if corpus_fingerprints is not None
                  else _fps(corpus))
-    keep = new_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    batch_first = new_fp.join(keep.select(id_col), id_col, "left_semi")
+    # in-batch keep-first as a window-min: one exchange on the
+    # fingerprint instead of groupBy(min) + semi-join (two exchanges
+    # plus a join; the keep side is batch-sized, not broadcastable at
+    # production snapshot sizes)
+    from pyspark.sql import Window
+
+    batch_first = (
+        new_fp.withColumn(
+            "_min_id",
+            F.min(id_col).over(Window.partitionBy("fingerprint")))
+        .filter(F.col(id_col) == F.col("_min_id")).drop("_min_id"))
     # lineage cut, not persist (the curate_full lesson, curate.py:128):
     # the banding/verify/drop chain below references these relations
     # dozens of times, and an InMemoryRelation keeps the whole analyzed
@@ -537,16 +549,21 @@ def dedup_increment(new_docs: DataFrame, corpus: DataFrame,
         universe, id_col=id_col, text_col=text_col, threshold=threshold,
         candidates=cands, scope=sc) \
         .localCheckpoint(eager=False)   # 3 drop-rule consumers below
-    new_ids = new_surv.select(F.col(id_col).alias("_nid"))
     # greedy drop rule over verified pairs (doc_a < doc_b): the higher
-    # new id of a new-new pair, and the new side of a corpus-new pair
-    drop_b = pairs.join(new_ids, pairs["doc_b"] == F.col("_nid"),
-                        "left_semi").select(F.col("doc_b").alias(id_col))
-    drop_a = (pairs.join(new_ids, pairs["doc_b"] == F.col("_nid"),
-                         "left_anti")
-              .join(new_ids, pairs["doc_a"] == F.col("_nid"), "left_semi")
-              .select(F.col("doc_a").alias(id_col)))
-    drops = drop_b.unionByName(drop_a).distinct()
+    # new id of a new-new pair, and the new side of a corpus-new pair.
+    # Two left joins with membership markers replace the previous
+    # semi + anti + semi + union shape (three joins and a union):
+    # b-is-new → drop doc_b; else a-is-new → drop doc_a.
+    b_ids = new_surv.select(F.col(id_col).alias("_bid"))
+    a_ids = new_surv.select(F.col(id_col).alias("_aid"))
+    drops = (
+        pairs.join(b_ids, pairs["doc_b"] == F.col("_bid"), "left")
+        .join(a_ids, pairs["doc_a"] == F.col("_aid"), "left")
+        .select(F.when(F.col("_bid").isNotNull(), F.col("doc_b"))
+                .when(F.col("_aid").isNotNull(), F.col("doc_a"))
+                .alias(id_col))
+        .filter(F.col(id_col).isNotNull())
+        .distinct())
     return exact_surv.join(drops, id_col, "left_anti") \
         .select(F.col(id_col), F.col("fingerprint"))
 
@@ -592,24 +609,26 @@ def near_duplicate_docs(docs: DataFrame, id_col: str = "doc_id",
             scope=sc).localCheckpoint(eager=False)
     sets = candidate_shingle_sets(docs, cands, id_col, text_col) \
         .localCheckpoint(eager=False)
-    sizes = sets.select("id", F.size("shs").alias("n_sh"))
+    # set sizes ride THROUGH the verify join (one extra int per exploded
+    # row, candidate-bounded volume) instead of two id-keyed joins after
+    # the aggregation — per group the size is constant, max() recovers
+    # it exactly and two exchanges disappear from the verify chain
     a = sets.select(F.col("id").alias("doc_a"),
+                    F.size("shs").alias("n_a"),
                     F.explode("shs").alias("sh_a"))
     b = sets.select(F.col("id").alias("_id_b"),
+                    F.size("shs").alias("n_b"),
                     F.explode("shs").alias("sh_b"))
     common = (
         cands.join(a, "doc_a")
         .join(b, (F.col("doc_b") == F.col("_id_b"))
               & (F.col("sh_a") == F.col("sh_b")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("n_common"),
+             F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
     )
     return (
         common
-        .join(sizes.select(F.col("id").alias("doc_a"),
-                           F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("id").alias("doc_b"),
-                           F.col("n_sh").alias("n_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_common")

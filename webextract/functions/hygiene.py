@@ -289,6 +289,7 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
                         text_col: str = "text",
                         mode: str = "exact",
                         buckets: int = 32,
+                        n_tokens_col: str | None = None,
                         scope=None) -> DataFrame:
     """Budgeted mixture fill: keep documents per stratum in priority
     order until the stratum's cumulative token count would exceed
@@ -334,7 +335,13 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
 
     from webextract.functions.text import norm_text, token_count
 
-    n_tok = token_count(norm_text(text_col))
+    # ``n_tokens_col`` lets a producer that already carries the token
+    # count (e.g. curate_corpus survivors, whose features computed the
+    # identical ``token_count(norm_text(text))``) skip re-normalizing
+    # and re-splitting the full text here — the budget never needs the
+    # text itself, only its count
+    n_tok = (F.col(n_tokens_col) if n_tokens_col is not None
+             else token_count(norm_text(text_col)))
     base = docs.select(F.col(id_col).alias("id"),
                        F.col(strata_col).alias("stratum"),
                        F.col(priority_col),
