@@ -577,7 +577,8 @@ def _url_docs(spark, sf_dir):
     """documents + a deterministic url over five synthetic hosts."""
     host = F.element_at(F.array(*[F.lit(d) for d in _DOMAINS]),
                         (F.col("doc_id") % 5 + 1).cast("int"))
-    return _docs(spark, sf_dir).withColumn(
+    # spread=False: the sole consumer (domain_stats) is aggregation-only
+    return _docs(spark, sf_dir, spread=False).withColumn(
         "url", F.concat(F.lit("https://"), host, F.lit("/p/"),
                         F.col("doc_id").cast("string")))
 
@@ -927,16 +928,21 @@ def q_extract_fixture_pages(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order is deliberate: the round-6 driver correctness run
-    # recorded exactly 50 rows of the then-53 registered queries and the
-    # three missing rows were the three LAST dict entries, i.e. the run
-    # subsets the registry head. The three queries that lost their
-    # round-6 row (ann_lsh_topk / ann_ivf_topk / extract_fixture_pages)
-    # therefore lead this round; the deliberate overflow tail holds the
-    # four most-stable keys (see the tail comment below) — all still
-    # covered every round by tests/test_oracle_parity.py, which runs
-    # the FULL registry against DuckDB locally. See BENCH.md.
+    # Registry order rotates so that every key gets an external driver
+    # CORRECTNESS row at least every two rounds (the round-7 verdict's
+    # rotation ask): the driver run records ~50 rows of the 54-key
+    # registry from the head, so the four keys without a round-7 row
+    # (minhash_wide / lsh_candidates_wide / top_longest_docs /
+    # token_budget) LEAD this round, and four keys green in BOTH r06 and
+    # r07 (resume_todo / dup_url_check / events_iou /
+    # near_dup_embeddings) rotate to the tail. The FULL registry is
+    # still value-checked against DuckDB every round by
+    # tests/test_oracle_parity.py. See BENCH.md.
     return {
+        "minhash_wide": q_minhash_wide,
+        "lsh_candidates_wide": q_lsh_candidates_wide,
+        "top_longest_docs": q_top_longest_docs,
+        "token_budget": q_token_budget,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "extract_fixture_pages": q_extract_fixture_pages,
@@ -945,7 +951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_line_spans": q_extract_line_spans,
         "extract_stats": q_extract_stats,
         "mean_confidence": q_mean_confidence,
-        "resume_todo": q_resume_todo,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
@@ -956,7 +961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_increment": q_dedup_increment,
         "paragraph_dedup": q_paragraph_dedup,
         "knn_cosine": q_knn_cosine,
-        "near_dup_embeddings": q_near_dup_embeddings,
         "near_dup_embeddings_lsh": q_near_dup_embeddings_lsh,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -967,7 +971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_multilang": q_quality_scores_multilang,
         "quality_scores_scripts": q_quality_scores_scripts,
         "token_counts_by_source": q_token_counts_by_source,
-        "dup_url_check": q_dup_url_check,
         "pii_mask": q_pii_mask,
         "decontaminate": q_decontaminate,
         "domain_stats": q_domain_stats,
@@ -976,7 +979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_approx": q_token_budget_approx,
         "stratified_sample": q_stratified_sample,
         "events_confusion": q_events_confusion,
-        "events_iou": q_events_iou,
         "events_windowed": q_events_windowed,
         "curated_docs": q_curated_docs,
         "curated_docs_transitive": q_curated_docs_transitive,
@@ -987,17 +989,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_pcm_sample": q_media_pcm_sample,
         "pdf_media_features": q_pdf_media_features,
-        # deliberate overflow tail (see the note above): parameter
-        # variants of checked queries, a trivial ORDER+LIMIT, and the
-        # exact budget mode (whose code path the oracle-checked
-        # curate_full exact chain + token_budget_approx's shared window
-        # tail exercise end to end) — all still value-checked locally
-        # every round by tests/test_oracle_parity.py over the FULL
-        # registry
-        "minhash_wide": q_minhash_wide,
-        "lsh_candidates_wide": q_lsh_candidates_wide,
-        "top_longest_docs": q_top_longest_docs,
-        "token_budget": q_token_budget,
+        # rotation tail (see the note above): four keys with GREEN
+        # driver rows in BOTH r06 and r07 sit past the ~50-row cap this
+        # round so the four previously-unchecked keys lead — all still
+        # value-checked locally every round by
+        # tests/test_oracle_parity.py over the FULL registry
+        "resume_todo": q_resume_todo,
+        "dup_url_check": q_dup_url_check,
+        "events_iou": q_events_iou,
+        "near_dup_embeddings": q_near_dup_embeddings,
     }
 
 

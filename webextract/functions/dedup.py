@@ -545,10 +545,13 @@ def dedup_increment(new_docs: DataFrame, corpus: DataFrame,
 
     universe = corpus.select(F.col(id_col), F.col(text_col)) \
         .unionByName(new_surv)
+    # no checkpoint: since the drop rule became two marker left-joins,
+    # the pair stream flows through it ONCE — a cut here would only add
+    # a materialization barrier (its lineage is already constant-size
+    # thanks to the cands/sets cuts inside the verify)
     pairs = near_duplicate_docs(
         universe, id_col=id_col, text_col=text_col, threshold=threshold,
-        candidates=cands, scope=sc) \
-        .localCheckpoint(eager=False)   # 3 drop-rule consumers below
+        candidates=cands, scope=sc)
     # greedy drop rule over verified pairs (doc_a < doc_b): the higher
     # new id of a new-new pair, and the new side of a corpus-new pair.
     # Two left joins with membership markers replace the previous
