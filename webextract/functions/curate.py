@@ -193,8 +193,8 @@ def curate_full(docs: DataFrame, blocked: DataFrame, benchmark: DataFrame,
     either way.
     """
     from .hygiene import (
-        canonicalize_url, decontaminate, filter_blocklist,
-        token_budget_sample, with_pii_masked,
+        canonicalize_url, filter_blocklist, token_budget_sample,
+        with_pii_masked,
     )
 
     sc = resolve(scope)
@@ -209,11 +209,25 @@ def curate_full(docs: DataFrame, blocked: DataFrame, benchmark: DataFrame,
     masked = with_pii_masked(allowed, text_col=text_col).select(
         F.col(id_col), F.col("masked_text").alias(text_col),
         F.col(strata_col))
-    flags = decontaminate(masked, benchmark, id_col=id_col,
-                          text_col=text_col)
-    clean = masked.join(
-        flags.filter(~F.col("contaminated"))
-        .select(F.col("id").alias(id_col)), id_col, "left_semi")
+    # decontamination as an any-overlap ANTI-join: this chain only needs
+    # the contaminated ids to drop, so the full decontaminate() contract
+    # (per-doc n_overlap count + left join back so clean docs get a
+    # zero row) is wasted work here — any shared n-gram already decides
+    # the drop. Same clean set, two fewer exchanges.
+    from .hygiene import _gram_hashes
+    from .text import norm_text
+
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(
+            _gram_hashes(norm_text("text"), 8))).alias("gh"))
+        .distinct())
+    contaminated = (
+        masked.select(F.col(id_col),
+                      F.explode(_gram_hashes(norm_text(text_col), 8))
+                      .alias("gh"))
+        .join(bench_grams, "gh", "left_semi")
+        .select(id_col).distinct())
+    clean = masked.join(contaminated, id_col, "left_anti")
     # materialized once: consumed by curate_corpus (itself a
     # multi-consumer stage) AND the budget join below. localCheckpoint
     # (not persist): clean's analyzed tree carries the whole
