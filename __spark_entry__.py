@@ -275,7 +275,10 @@ def _increment_inputs(spark, sf_dir):
                           F.concat(F.col("s.text"),
                                    F.lit(" extra near dup tail words here")))
                    .otherwise(F.col("s.text")).alias("text")))
-    return new, committed
+    # dedup_increment consumes the new batch twice (fingerprints +
+    # text semi-join); without a cut the fixture join re-executes per
+    # reference
+    return new.localCheckpoint(eager=False), committed
 
 
 def q_dedup_increment(spark, sf_dir):

@@ -113,19 +113,20 @@ def band_table(signatures: DataFrame, id_col: str = "doc_id",
     skews a band join. Shared by :func:`lsh_candidate_pairs` (self-join)
     and :func:`dedup_increment` (new-vs-corpus join)."""
     assert n_hashes % band_size == 0
-    bands = []
+    # ONE pass over the signatures: all band keys are emitted as an
+    # array and exploded, instead of a UNION of per-band selects — the
+    # union shape re-evaluated the whole signature subtree once per
+    # band when the input was not materialized (e.g. dedup_increment's
+    # corpus side, where signatures derive from text in-flight)
+    keys = []
     for b in range(n_hashes // band_size):
         cols = [F.col(f"mh{b * band_size + j}").cast("string")
                 for j in range(band_size)]
-        key = F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
-        bands.append(
-            signatures.filter(F.col("mh0").isNotNull())
-            .select(F.col(id_col), key.alias("band_key"))
-        )
-    out = bands[0]
-    for other in bands[1:]:
-        out = out.unionByName(other)
-    return out
+        keys.append(F.md5(F.concat_ws("|", F.lit(str(b)), *cols)))
+    return (
+        signatures.filter(F.col("mh0").isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*keys)).alias("band_key"))
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
