@@ -494,7 +494,9 @@ def q_quality_scores_scripts(spark, sf_dir):
 
 
 def q_token_counts_by_source(spark, sf_dir):
-    feats = with_text_features(_docs(spark, sf_dir))
+    # spread=False: only n_tokens survives pruning — a cheap split+size
+    # feeding one agg (A/B median 0.54 s vs 0.66 s with the exchange)
+    feats = with_text_features(_docs(spark, sf_dir, spread=False))
     return feats.groupBy("source").agg(
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
@@ -646,8 +648,8 @@ def q_token_budget(spark, sf_dir):
     from webextract.functions.hygiene import token_budget_sample
 
     return token_budget_sample(
-        _docs(spark, sf_dir), budget_tokens=3000, strata_col="source",
-        priority_col="n_chars")
+        _docs(spark, sf_dir, spread=False), budget_tokens=3000,
+        strata_col="source", priority_col="n_chars")
 
 
 def q_token_budget_approx(spark, sf_dir):
@@ -657,8 +659,9 @@ def q_token_budget_approx(spark, sf_dir):
     from webextract.functions.hygiene import token_budget_sample
 
     return token_budget_sample(
-        _docs(spark, sf_dir), budget_tokens=3000, strata_col="source",
-        priority_col="n_chars", mode="approx", buckets=8)
+        _docs(spark, sf_dir, spread=False), budget_tokens=3000,
+        strata_col="source", priority_col="n_chars", mode="approx",
+        buckets=8)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -666,7 +669,8 @@ def q_stratified_sample(spark, sf_dir):
     # everything else — salted-hash cutoffs, no rand(), rerun-identical
     from webextract.functions.hygiene import stratified_sample
 
-    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    docs = _docs(spark, sf_dir, spread=False) \
+        .select("doc_id", "lang", "source")
     return stratified_sample(docs, {"en": 0.5, "de": 0.25},
                              strata_col="lang", default_rate=0.1)
 
@@ -797,7 +801,11 @@ def q_block_scores(spark, sf_dir):
 def _media_table(spark, sf_dir):
     from webextract.functions.text import norm_text
 
-    return _docs(spark, sf_dir).select(
+    # spread=False: the fake-backend media ops are trivial per row at
+    # this size — A/B median 0.39/0.33 s vs 0.60/0.57 s with the
+    # exchange (at real-media scale the python stage dominates and the
+    # table arrives pre-partitioned from the crawl sink anyway)
+    return _docs(spark, sf_dir, spread=False).select(
         F.col("doc_id").alias("media_id"),
         F.encode(norm_text("text"), "UTF-8").alias("payload"),
         F.element_at(

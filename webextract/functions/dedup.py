@@ -472,10 +472,13 @@ def dedup_increment(new_docs: DataFrame, corpus: DataFrame,
        the corpus NEVER self-joins (its pairs are already resolved), so
        candidate work is proportional to the new batch, not the corpus.
        Candidates verify with exact Jaccard
-       (:func:`near_duplicate_docs` with the precomputed pair set); a
-       new doc is dropped when it verifies against ANY corpus doc, or
-       against a LOWER-id surviving new doc (the same greedy keep-lowest
-       rule as :func:`~webextract.functions.curate.curate_corpus`).
+       (:func:`near_duplicate_docs` with the precomputed pair set); the
+       greedy pairwise rule then drops, for every verified pair, the
+       higher new id of a new-new pair and the new side of a
+       corpus-new pair — REGARDLESS of whether the pair's lower side
+       itself survives (single-pass, matching
+       :func:`~webextract.functions.curate.curate_corpus` and the SQL
+       oracle).
 
     Ids must be unique across the two inputs (they share one id space —
     the url-hash/doc_id contract of the pipeline). At production scale
