@@ -1773,6 +1773,32 @@ def test_token_budget_sample(spark):
     assert 4 not in out  # boundary doc never partially included
 
 
+def test_token_budget_precomputed_n_tokens_col(spark):
+    # r8: producers that already carry the token count (curate_full's
+    # survivors) pass n_tokens_col and skip re-tokenizing the text —
+    # rows must be identical to the text-derived path in both modes
+    from pyspark.sql import functions as F
+
+    from webextract.functions.hygiene import token_budget_sample
+    from webextract.functions.text import norm_text, token_count
+
+    docs = spark.createDataFrame([
+        Row(doc_id=i, src=f"s{i % 3}", prio=float((i * 7) % 11),
+            text=" ".join(["tok"] * ((i % 9) + 1)))
+        for i in range(60)
+    ]).withColumn("nt", token_count(norm_text("text")))
+    for mode in ("exact", "approx"):
+        via_text = token_budget_sample(
+            docs, budget_tokens=12, strata_col="src", priority_col="prio",
+            mode=mode)
+        via_col = token_budget_sample(
+            docs, budget_tokens=12, strata_col="src", priority_col="prio",
+            mode=mode, n_tokens_col="nt")
+        assert via_text.exceptAll(via_col).count() == 0
+        assert via_col.exceptAll(via_text).count() == 0
+        assert via_col.count() > 0
+
+
 def test_token_budget_approx_matches_exact(spark):
     # the two-phase histogram path must return IDENTICAL rows to the
     # exact window pass — bucket-edge placement is a performance knob

@@ -311,16 +311,25 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
                                    F.col("src").alias("dst"))).distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
     # decimal(38,0) witness: a long sum wraps silently at 2^63, so with
     # 64-bit doc ids at corpus scale a round's decrease could wrap past
-    # the modulus and falsely compare equal — decimal cannot
-    _wsum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_wsum).first()[0]
+    # the modulus and falsely compare equal — decimal cannot.
+    # The witness is collected via observe() DURING the eager
+    # checkpoint's own job instead of a separate per-round agg action —
+    # one fewer Spark job per round (the loop's cost is job count, not
+    # data).
+    from pyspark.sql import Observation
+
+    _wsum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+
+    def _checkpoint_with_sum(df):
+        obs = Observation()
+        cp = df.observe(obs, _wsum).localCheckpoint()
+        return cp, obs.get["s"]
+
+    labels, prev_sum = _checkpoint_with_sum(
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id")))
     if prev_sum is None:  # no pairs at all
         return labels.select(F.col("id").alias("doc_id"),
                              F.col("label").alias("group_id"))
@@ -339,12 +348,10 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 25,
         # inner self-join is total
         ptr = stepped.select(F.col("id").alias("pid"),
                              F.col("label").alias("plabel"))
-        labels = (
+        labels, new_sum = _checkpoint_with_sum(
             stepped.join(ptr, stepped["label"] == ptr["pid"])
             .select("id", F.col("plabel").alias("label"))
-            .localCheckpoint()
         )
-        new_sum = labels.agg(_wsum).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
